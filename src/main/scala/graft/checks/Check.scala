@@ -1,0 +1,162 @@
+package graft.checks
+
+/** The constraint DSL — every reference macro becomes a declarative Check
+  * compiled to DataFrame transformations (SURVEY.md §7.1).
+  *
+  * Common fields:
+  *  - id: stable check identifier, carried into verdict/violation rows
+  *    (the reference's report titles / dataset suffixes play this role);
+  *  - scope: partition columns — one verdict per distinct scope tuple
+  *    (maps the reference's byVar/panelVar, e.g. univariatePlot.sas:805-848);
+  *  - severity: informational tag propagated to results.
+  */
+sealed trait Check {
+  def id: String
+  def scope: Seq[String]
+  def severity: String
+}
+
+/** Column profile thresholds over one pass of sketch aggregation
+  * (north-rule column stats; missingness ≈ the reference's universal
+  * non-missing filters, SURVEY.md P2). All bounds optional; only supplied
+  * ones are asserted. Quantile bounds use a mergeable KLL sketch.
+  */
+final case class ColumnStatsCheck(
+    id: String,
+    column: String,
+    scope: Seq[String] = Nil,
+    maxMissingFrac: Option[Double] = None,
+    minAllowed: Option[Double] = None,
+    maxAllowed: Option[Double] = None,
+    quantileBounds: Seq[(Double, Double, Double)] = Nil, // (q, lo, hi)
+    minDistinct: Option[Long] = None,
+    maxDistinct: Option[Long] = None,
+    severity: String = "error") extends Check
+
+/** Key-uniqueness: no two rows share `keys` (within scope).
+  * Reference analogue: nodupkey hygiene (SURVEY O3); scaled per north rule
+  * with AQE skew splitting + partial aggregation.
+  */
+final case class UniquenessCheck(
+    id: String,
+    keys: Seq[String],
+    scope: Seq[String] = Nil,
+    maxDuplicates: Long = 0,
+    severity: String = "error") extends Check
+
+/** Referential consistency: every non-null `column` value appears in
+  * `refTable.refColumn` (anti-join, broadcast when dim is small). North-rule
+  * check; reference analogue is schema-level only (variableExist.sas:17-35).
+  */
+final case class ReferentialCheck(
+    id: String,
+    column: String,
+    refTable: String,
+    refColumn: String,
+    scope: Seq[String] = Nil,
+    maxOrphans: Long = 0,
+    severity: String = "error") extends Check
+
+/** Categorical-consistency check — re-expression of %catchk
+  * (Categorical_Check.sas): per panel (calendar bin × scope), test each
+  * group's distribution of `valueCol` against the rest (chi-square or
+  * Fisher), Holm-adjust within panel, flag when p < alphaBar.
+  */
+final case class CategoricalConsistencyCheck(
+    id: String,
+    valueCol: String,
+    groupCol: String,
+    dateCol: Option[String] = None,
+    interval: String = "quarter", // year|half|quarter|month|overall
+    scope: Seq[String] = Nil,
+    test: String = "chisq",       // chisq|fisher (fisher exact for 2x2, else chisq)
+    alphaBar: Double = 0.1,
+    minNum: Long = 0,
+    severity: String = "warn") extends Check
+
+/** Terminal-digit-preference check — re-expression of %digitpref
+  * (DigitPref.sas): distribution of last digit at decimal place `place`
+  * vs uniform (GOF chi-square, digits 0-9, sentinel -1 excluded),
+  * per (panel, group); flags per DigitPref.sas:378-396.
+  */
+final case class DigitPreferenceCheck(
+    id: String,
+    column: String,
+    place: Double = 1.0, // digit position: 1=ones, 0.1=tenths, 10=tens
+    groupCol: String,
+    dateCol: Option[String] = None,
+    interval: String = "overall",
+    scope: Seq[String] = Nil,
+    alpha: Double = 0.01,
+    noneThreshold: Double = 5.0, // % of values without the digit (flag 3)
+    minNum: Long = 0,
+    severity: String = "warn") extends Check
+
+/** Group-variance homogeneity — re-expression of %groupComparisons
+  * (groupComparisons.sas): whitened mixed-model residuals, Brown-Forsythe
+  * test one-vs-rest per group, Holm-adjust, flag p < alpha.
+  */
+final case class GroupVarianceCheck(
+    id: String,
+    outcome: String,
+    groupCol: String,
+    discCovariates: Seq[String] = Nil,
+    contCovariates: Seq[String] = Nil,
+    scope: Seq[String] = Nil,
+    alpha: Double = 0.1,
+    severity: String = "warn") extends Check
+
+/** Regression-outlier check — re-expression of %univariatePlot /
+  * %bivariatePlot: OLS per scope group, flag |rStudent| >= tinv(cutoff)
+  * and CookD > cookCutoff/n (BivariatePlot.sas:481-488).
+  */
+final case class RegressionOutlierCheck(
+    id: String,
+    outcome: String,
+    idCol: String,
+    contCovariates: Seq[String] = Nil,
+    discCovariates: Seq[String] = Nil,
+    scope: Seq[String] = Nil,
+    cutoffPct: Double = 90,
+    cookCutoff: Option[Double] = None, // e.g. Some(7.0) → flag D > 7/n
+    severity: String = "warn") extends Check
+
+/** Longitudinal within-entity outlier — re-expression of %longitudinalPlot
+  * default config: random-intercept residuals per subject, flag
+  * |scaled residual| >= tinv(cutoff, dfe-1) with the df<1.12 workaround.
+  */
+final case class LongitudinalOutlierCheck(
+    id: String,
+    outcome: String,
+    idCol: String,
+    contCovariates: Seq[String] = Nil,
+    discCovariates: Seq[String] = Nil,
+    scope: Seq[String] = Nil,
+    cutoffPct: Double = 90,
+    severity: String = "warn") extends Check
+
+/** Distribution drift across time windows (north rule): equal-width
+  * histogram of `column` per `interval` window of `dateCol`; chi-square +
+  * KS statistic of each window vs the pooled rest; flag p < alpha.
+  * Generalizes CategoricalConsistency to numeric columns.
+  */
+final case class DriftCheck(
+    id: String,
+    column: String,
+    dateCol: String,
+    interval: String = "quarter",
+    bins: Int = 20,
+    scope: Seq[String] = Nil,
+    alpha: Double = 0.01,
+    ksThreshold: Double = 0.2,
+    severity: String = "warn") extends Check
+
+/** Byte-identity audit: sha2-256 of `column` grouped by key must have
+  * exactly one value per key across the table (north-rule text invariant).
+  */
+final case class ByteIdentityCheck(
+    id: String,
+    keyCol: String,
+    column: String,
+    scope: Seq[String] = Nil,
+    severity: String = "error") extends Check

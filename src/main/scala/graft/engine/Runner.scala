@@ -1,0 +1,110 @@
+package graft.engine
+
+import graft.checks._
+import graft.operators._
+import graft.store.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The check runner: compiles a suite of Checks against one input table
+  * into verdict + violation frames, fusing where profitable
+  * (SURVEY.md §4 loop-fusion note):
+  *  - all ColumnStatsChecks with the same scope → ONE sketch-agg pass;
+  *  - each other family is already a single-lineage plan;
+  *  - the input is cached once when ≥ 3 check families will scan it.
+  *
+  * `runResumable` adds the north-rule checkpoint/resume: the input is
+  * processed per unit (a partition column value, e.g. warc_ts quarter);
+  * each completed unit commits its results + manifest line through
+  * TableIO; a restarted run anti-joins pending units against the manifest
+  * and only computes those. Verdict semantics are unit-local by
+  * construction (every check's scope includes the unit column), so
+  * resume ≡ fresh run — property-tested.
+  */
+object Runner {
+
+  final case class Suite(
+      checks: Seq[Check],
+      refTables: Map[String, DataFrame] = Map.empty,
+      keyCol: String = "url")
+
+  final case class RunResult(verdicts: DataFrame, violations: DataFrame)
+
+  def run(df: DataFrame, suite: Suite): RunResult = {
+    val spark = df.sparkSession
+    val shouldCache = suite.checks.size >= 3
+    val input = if (shouldCache) df.cache() else df
+
+    val colStats = suite.checks.collect { case c: ColumnStatsCheck => c }
+    val statsResults: Seq[DataFrame] = colStats.groupBy(_.scope).toSeq.map {
+      case (_, cs) =>
+        val profiled = ColumnStats.profile(input, cs)
+        ColumnStats.verdicts(profiled, cs)
+    }
+
+    val others: Seq[(DataFrame, DataFrame)] = suite.checks.collect {
+      case c: UniquenessCheck =>
+        (Uniqueness.verdicts(input, c), Uniqueness.violations(input, c))
+      case c: ReferentialCheck =>
+        val ref = suite.refTables.getOrElse(c.refTable,
+          throw new IllegalArgumentException(s"missing refTable ${c.refTable}"))
+        (Referential.verdicts(input, ref, c), Referential.violations(input, ref, c, suite.keyCol))
+      case c: CategoricalConsistencyCheck =>
+        (CategoricalConsistency.verdicts(input, c), CategoricalConsistency.violations(input, c))
+      case c: DigitPreferenceCheck =>
+        (DigitPreference.verdicts(input, c), DigitPreference.violations(input, c))
+      case c: GroupVarianceCheck =>
+        (GroupVariance.verdicts(input, c), GroupVariance.violations(input, c))
+      case c: RegressionOutlierCheck =>
+        (RegressionOutlier.verdicts(input, c), RegressionOutlier.violations(input, c))
+      case c: LongitudinalOutlierCheck =>
+        (LongitudinalOutlier.verdicts(input, c), LongitudinalOutlier.violations(input, c))
+      case c: DriftCheck =>
+        (Drift.verdicts(input, c), Drift.violations(input, c))
+      case c: ByteIdentityCheck =>
+        (ByteIdentity.verdicts(input, c), ByteIdentity.violations(input, c))
+    }
+
+    val verdicts = (statsResults ++ others.map(_._1))
+      .reduceOption(_ unionByName _).getOrElse(Results.emptyVerdicts(spark))
+    val violations = others.map(_._2)
+      .reduceOption(_ unionByName _).getOrElse(Results.emptyViolations(spark))
+    RunResult(verdicts, violations)
+  }
+
+  /** Checkpointed per-unit run. `unitCol` values partition the input; one
+    * commit per unit. Returns the union of ALL completed units (prior +
+    * this run) read back from the store.
+    *
+    * @param failAfterUnits test hook: abort after N units to exercise resume.
+    */
+  def runResumable(df: DataFrame, suite: Suite, stateRoot: String, unitCol: String,
+      runId: String, failAfterUnits: Int = Int.MaxValue): RunResult = {
+    val spark = df.sparkSession
+    val hash = TableIO.checkHash(suite.checks.map(_.toString))
+    val done = TableIO.completedUnits(stateRoot, hash)
+    val units = df.select(col(unitCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pending = units.filterNot(done.contains)
+    var processed = 0
+    pending.foreach { unit =>
+      if (processed < failAfterUnits) {
+        val t0 = System.nanoTime()
+        val slice = df.filter(col(unitCol).cast("string") === unit)
+        val res = run(slice, suite)
+        val vCount = res.verdicts.cache().count()
+        TableIO.commitUnit(stateRoot,
+          TableIO.ManifestEntry(runId, unit, vCount, (System.nanoTime() - t0) / 1000000,
+            hash, s"input@$unitCol=$unit", System.currentTimeMillis()),
+          Map("verdicts" -> res.verdicts, "violations" -> res.violations))
+        res.verdicts.unpersist()
+        processed += 1
+      }
+    }
+    RunResult(
+      TableIO.readUnitData(spark, stateRoot, "verdicts")
+        .getOrElse(Results.emptyVerdicts(spark)).drop("unit"),
+      TableIO.readUnitData(spark, stateRoot, "violations")
+        .getOrElse(Results.emptyViolations(spark)).drop("unit"))
+  }
+}

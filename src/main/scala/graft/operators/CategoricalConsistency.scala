@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.checks.{CategoricalConsistencyCheck, Results}
+import graft.stats.{Distributions, Holm}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical-consistency / drift check — %catchk re-expressed.
+  *
+  * Reference (Categorical_Check.sas) runs one PROC FREQ **per (panel, bar)**
+  * one-vs-rest table (:289-307) and one per pairwise (i,j) (:368-419) —
+  * O(k²) full re-scans. Here the whole check is ONE lineage with a single
+  * row-level shuffle:
+  *
+  *   scan → panel bin (F2) → groupBy(panel, group, value).count   [shuffle 1]
+  *   → window totals over the counts frame (W2, no extra shuffle of raw rows)
+  *   → zero-fill shell via the panel-value domain (J6)
+  *   → one-vs-rest cells (A9) → chi-square columns (M7)
+  *   → Holm per panel (M10, group-level rows only)
+  *   → verdicts (M13) + violation rows (worst-deviating category).
+  *
+  * Everything after the groupBy operates on (panels × groups × categories)
+  * rows — thousands, not 10^12 — so window functions and the Holm
+  * collect_list are cheap regardless of input scale.
+  */
+object CategoricalConsistency {
+
+  /** Contingency cells with one-vs-rest margins, zero-filled.
+    * Output grain: (scopeCols..., panel, grp, value) with cnt, grp_total,
+    * panel_value_total, panel_total.
+    */
+  def cells(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+    val panelCol = check.dateCol match {
+      case Some(dc) => PanelBins.panel(col(dc), check.interval)
+      case None => lit("_ALL_")
+    }
+    val scopeCols = check.scope
+    val keyCols = scopeCols :+ "panel"
+    val base = df
+      .filter(col(check.valueCol).isNotNull && col(check.groupCol).isNotNull)
+      .withColumn("panel", panelCol)
+      .select((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
+    val counts = base
+      .groupBy((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed(check.groupCol, "grp")
+      .withColumnRenamed(check.valueCol, "value")
+    // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6)
+    val grpDom = counts.select((keyCols :+ "grp").map(col): _*).distinct()
+    val valDom = counts.select((keyCols :+ "value").map(col): _*).distinct()
+    val shell = grpDom.join(valDom, keyCols)
+    val filled = shell.join(counts, keyCols :+ "grp" :+ "value", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wGrp = Window.partitionBy((keyCols :+ "grp").map(col): _*)
+    val wVal = Window.partitionBy((keyCols :+ "value").map(col): _*)
+    val wPanel = Window.partitionBy(keyCols.map(col): _*)
+    filled
+      .withColumn("grp_total", sum("cnt").over(wGrp))
+      .withColumn("panel_value_total", sum("cnt").over(wVal))
+      .withColumn("panel_total", sum("cnt").over(wPanel))
+  }
+
+  /** Per-(panel, grp) one-vs-rest test results: chi-square (or Fisher when
+    * the table is 2×2), raw p, Holm-adjusted p within panel.
+    */
+  def tests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+    val keyCols = check.scope :+ "panel"
+    val c = cells(df, check)
+    // one-vs-rest 2×C cells: o1 = cnt, o2 = panel_value_total - cnt
+    // expected under homogeneity: e1 = grp_total * pvt / N, e2 = (N-grp_total) * pvt / N
+    val withE = c
+      .withColumn("o1", col("cnt").cast("double"))
+      .withColumn("o2", (col("panel_value_total") - col("cnt")).cast("double"))
+      .withColumn("e1", col("grp_total") * col("panel_value_total") / col("panel_total"))
+      .withColumn("e2", (col("panel_total") - col("grp_total")) * col("panel_value_total") / col("panel_total"))
+      .withColumn("x2_term",
+        when(col("e1") > 0, pow(col("o1") - col("e1"), 2) / col("e1")).otherwise(0.0) +
+        when(col("e2") > 0, pow(col("o2") - col("e2"), 2) / col("e2")).otherwise(0.0))
+    val perGrp = withE
+      .groupBy((keyCols :+ "grp").map(col): _*)
+      .agg(
+        sum("x2_term").as("stat"),
+        (countDistinct("value") - 1).cast("double").as("df"),
+        first("grp_total").as("n_grp"),
+        first("panel_total").as("n_panel"),
+        // 2×2 cells for Fisher when the panel has exactly 2 categories:
+        // sort by value for determinism
+        sort_array(collect_list(struct(col("value"), col("o1"), col("o2")))).as("cells2"))
+      .filter(col("n_grp") > check.minNum && col("df") >= 1 &&
+        col("n_panel") > col("n_grp")) // a single-group panel has no "rest"
+    val useFisher = check.test.equalsIgnoreCase("fisher")
+    val pUdf = udf((stat: Double, dfree: Double,
+        cells2: Seq[org.apache.spark.sql.Row]) => {
+      if (useFisher && cells2.size == 2) {
+        val a = cells2.head.getDouble(1).round
+        val b = cells2(1).getDouble(1).round
+        val cc = cells2.head.getDouble(2).round
+        val d = cells2(1).getDouble(2).round
+        Distributions.fisherExact2x2(a, b, cc, d)
+      } else Distributions.chiSqPValue(stat, dfree)
+    })
+    val withP = perGrp.withColumn("p_raw", pUdf(col("stat"), col("df"), col("cells2")))
+      .drop("cells2")
+    holmWithinPanel(withP, keyCols)
+  }
+
+  /** Holm step-down within each panel (M10). Group count per panel is tiny,
+    * so collect_list per panel is safe at any input scale. */
+  private[operators] def holmWithinPanel(withP: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val holmUdf = udf((ps: Seq[Double]) => Holm.adjust(ps.map(p => if (p == null) Double.NaN else p)))
+    val spark = withP.sparkSession
+    val rest = withP.columns.filterNot(keyCols.contains).toSeq
+    withP
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(rest.map(col): _*)).as("rows"))
+      .withColumn("adj", holmUdf(expr("transform(rows, r -> r.p_raw)")))
+      .select((keyCols.map(col) :+
+        expr("explode(arrays_zip(rows, adj)) as z")): _*)
+      .select((keyCols.map(col) :+ col("z.rows.*") :+ col("z.adj").as("p_holm")): _*)
+  }
+
+  def verdicts(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+    val keyCols = check.scope :+ "panel"
+    val t = tests(df, check)
+    val framed = t.select(
+      concat_ws("/",
+        (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
+          Seq(concat(lit("panel="), col("panel")),
+            concat(lit("grp="), col("grp").cast("string")))): _*).as("partition"),
+      lit("chisq_one_vs_rest").as("metric"),
+      col("stat"),
+      col("p_holm").as("p_value"),
+      lit(check.alphaBar).as("threshold"),
+      col("n_grp").cast("long").as("n_obs"),
+      (col("p_holm") >= check.alphaBar).as("pass"))
+    Results.toVerdicts(framed, check.id, check.severity)
+  }
+
+  /** Violation rows: for every failing (panel, grp), its worst-deviating
+    * category with observed vs expected row-percent. */
+  def violations(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+    val keyCols = check.scope :+ "panel"
+    val t = tests(df, check).filter(col("p_holm") < check.alphaBar)
+      .select((keyCols :+ "grp").map(col) :+ col("p_holm"): _*)
+    val c = cells(df, check)
+      .withColumn("dev",
+        when(col("grp_total") > 0 && col("panel_value_total") > 0,
+          abs(col("cnt") / col("grp_total") -
+            col("panel_value_total") / col("panel_total")))
+          .otherwise(0.0))
+    val joined = c.join(t, keyCols :+ "grp")
+    val w = Window.partitionBy((keyCols :+ "grp").map(col): _*).orderBy(col("dev").desc, col("value"))
+    val worst = joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val v = worst.select(
+      col("grp").cast("string").as("key"),
+      concat_ws("/",
+        (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) :+
+          concat(lit("panel="), col("panel"))): _*).as("partition"),
+      concat(col("value"), lit(" @ "),
+        round(col("cnt") * 100.0 / col("grp_total"), 2).cast("string"), lit("%")).as("observed"),
+      concat(col("value"), lit(" @ "),
+        round(col("panel_value_total") * 100.0 / col("panel_total"), 2).cast("string"), lit("%")).as("expected"),
+      concat(lit("inconsistent "), lit(check.valueCol), lit(" distribution, p_holm="),
+        round(col("p_holm"), 6).cast("string")).as("label"))
+    Results.toViolations(v, check.id)
+  }
+}

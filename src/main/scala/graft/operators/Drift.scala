@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.checks.{DriftCheck, Results}
+import graft.stats.Distributions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Numeric distribution-drift check across time windows (north rule) —
+  * the numeric generalization of CategoricalConsistency: per calendar
+  * window of `dateCol`, an equal-width histogram of `column`; each window
+  * tested against the pooled rest with chi-square (binned) and a KS
+  * statistic from the cumulative histograms.
+  *
+  * Plan: one tiny global agg (min/max for bin edges), then ONE
+  * groupBy(scope, window, bin).count shuffle; all test arithmetic happens
+  * on (windows × bins) rows via window functions.
+  */
+object Drift {
+
+  /** Histogram cells: (scope..., panel, bin, cnt) with margins. */
+  def histogram(df: DataFrame, check: DriftCheck): DataFrame = {
+    val v = col(check.column).cast("double")
+    val base0 = df.filter(v.isNotNull && !isnan(v))
+    // global bin edges — single scalar agg, broadcast as literals
+    val Array(mn, mx) = base0.agg(min(v), max(v)).collect()(0) match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val width = if (mx > mn) (mx - mn) / check.bins else 1.0
+    val binCol = least(greatest(floor((v - mn) / width), lit(0.0)), lit((check.bins - 1).toDouble)).cast("int")
+    val keyCols = check.scope :+ "panel"
+    base0
+      .withColumn("panel", PanelBins.panel(col(check.dateCol), check.interval))
+      .withColumn("bin", binCol)
+      .groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-(scope, panel) drift tests vs pooled rest. */
+  def tests(df: DataFrame, check: DriftCheck): DataFrame = {
+    val keyCols = check.scope :+ "panel"
+    val h = histogram(df, check)
+    val wScope = Window.partitionBy(check.scope.map(col): _*)
+    val wScopeBin = Window.partitionBy((check.scope :+ "bin").map(col): _*)
+    val wPanel = Window.partitionBy(keyCols.map(col): _*)
+    val withTotals = h
+      .withColumn("bin_total", sum("cnt").over(wScopeBin))   // this bin, all windows
+      .withColumn("panel_total", sum("cnt").over(wPanel))    // this window
+      .withColumn("grand_total", sum("cnt").over(wScope))
+      .withColumn("o1", col("cnt").cast("double"))
+      .withColumn("o2", (col("bin_total") - col("cnt")).cast("double"))
+      .withColumn("n1", col("panel_total").cast("double"))
+      .withColumn("n2", (col("grand_total") - col("panel_total")).cast("double"))
+    val withTerms = withTotals
+      .withColumn("e1", col("n1") * col("bin_total") / col("grand_total"))
+      .withColumn("e2", col("n2") * col("bin_total") / col("grand_total"))
+      .withColumn("x2_term",
+        when(col("e1") > 0, pow(col("o1") - col("e1"), 2) / col("e1")).otherwise(0.0) +
+        when(col("e2") > 0, pow(col("o2") - col("e2"), 2) / col("e2")).otherwise(0.0))
+      // KS: cumulative share difference per bin (ordered by bin)
+      .withColumn("cum1", sum("o1").over(wPanel.orderBy("bin")) / col("n1"))
+      .withColumn("cum2", sum("o2").over(wPanel.orderBy("bin")) / col("n2"))
+      .withColumn("ks_term", abs(col("cum1") - col("cum2")))
+    val perPanel = withTerms.groupBy(keyCols.map(col): _*).agg(
+      sum("x2_term").as("stat"),
+      (countDistinct(when(col("bin_total") > 0, col("bin"))) - 1).cast("double").as("df"),
+      max("ks_term").as("ks"),
+      first("n1").cast("long").as("n_panel"),
+      first("n2").cast("long").as("n_rest"))
+      .filter(col("n_rest") > 0 && col("df") >= 1)
+    val pUdf = udf((s: Double, d: Double) => Distributions.chiSqPValue(s, d))
+    val withP = perPanel.withColumn("p_raw", pUdf(col("stat"), col("df")))
+    CategoricalConsistency.holmWithinPanel(withP, check.scope.toList match {
+      case Nil => Seq.empty[String] // Holm across all windows when unscoped
+      case s => s
+    }) match {
+      case adjusted => adjusted
+        .withColumn("flag_chisq", col("p_holm") < check.alpha)
+        .withColumn("flag_ks", col("ks") > check.ksThreshold)
+        .withColumn("pass", !(col("flag_chisq") || col("flag_ks")))
+    }
+  }
+
+  def verdicts(df: DataFrame, check: DriftCheck): DataFrame = {
+    val t = tests(df, check)
+    val framed = t.select(
+      concat_ws("/",
+        (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) :+
+          concat(lit("panel="), col("panel"))): _*).as("partition"),
+      lit("drift_chisq_ks").as("metric"),
+      col("stat"),
+      col("p_holm").as("p_value"),
+      lit(check.alpha).as("threshold"),
+      col("n_panel").as("n_obs"),
+      col("pass"))
+    Results.toVerdicts(framed, check.id, check.severity)
+  }
+
+  def violations(df: DataFrame, check: DriftCheck): DataFrame = {
+    val t = tests(df, check).filter(!col("pass"))
+    val v = t.select(
+      col("panel").as("key"),
+      concat_ws("/",
+        check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))): _*).as("partition"),
+      concat(lit("chisq="), round(col("stat"), 4).cast("string"),
+        lit(", ks="), round(col("ks"), 4).cast("string")).as("observed"),
+      lit("distribution ≈ pooled rest").as("expected"),
+      concat(lit(s"${check.column} drifted in window, p_holm="),
+        round(col("p_holm"), 6).cast("string")).as("label"))
+    Results.toViolations(v, check.id)
+  }
+}

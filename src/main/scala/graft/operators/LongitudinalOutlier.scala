@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.checks.{LongitudinalOutlierCheck, Results}
+import graft.stats.{Distributions, VarComp}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Within-entity time-series outlier check — %longitudinalPlot default
+  * config re-expressed (longitudinalPlot.sas:423-493).
+  *
+  * Spark shape (SURVEY.md §3.3): fixed-effect OLS residuals (OlsPass, one
+  * shuffle) → per-subject sufficient stats → driver MoM variance components
+  * (VarComp) → whitened marginal residuals per row (window sum per subject,
+  * one more shuffle on subject — co-partitioned with the windows) → flag
+  * |r*| >= tinv(cutoff/100, dfe−1) with the df<1.12 workaround
+  * (longitudinalPlot.sas:453-456) → violations = flagged rows; subjects
+  * with any flag selected via semi-join (print=OUTLIERS, :486-493).
+  */
+object LongitudinalOutlier {
+
+  def flagged(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {
+    val d = OlsPass.design(df, check.contCovariates, check.discCovariates)
+    val fits = OlsPass.fitPerGroup(df, check.outcome, d, check.scope)
+    val withResid = OlsPass.rowStats(df, check.outcome, d, check.scope, fits)
+    // per-(scope, subject) sufficient stats → variance components per scope
+    val subjStats = withResid.groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
+      .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
+      .collect()
+    val est = subjStats.groupBy(_.getString(0)).map { case (k, rows) =>
+      k -> VarComp.fromResidualStats(rows.map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq)
+    }
+    val cutoffs = fits.map { case (k, f) =>
+      // SAS low-df workaround mirrored exactly (longitudinalPlot.sas:453-456)
+      k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
+    }
+    val spark = df.sparkSession
+    val bcEst = spark.sparkContext.broadcast(est)
+    val bcCut = spark.sparkContext.broadcast(cutoffs)
+    val whitenUdf = udf((key: String, n: Long, r: Double, rsum: Double) => {
+      bcEst.value.get(key).map { e =>
+        val (a, b) = VarComp.whitenCoeffs(e, n)
+        a * r + b * rsum
+      }.getOrElse(Double.NaN)
+    })
+    val cutUdf = udf((key: String) => bcCut.value.getOrElse(key, Double.NaN))
+    val wSubj = Window.partitionBy(col("__key"), col(check.idCol))
+    withResid
+      .withColumn("__n_subj", count(lit(1)).over(wSubj))
+      .withColumn("__rsum", sum("resid").over(wSubj))
+      .withColumn("rscaled", whitenUdf(col("__key"), col("__n_subj"), col("resid"), col("__rsum")))
+      .withColumn("cutoff", cutUdf(col("__key")))
+      .withColumn("flag_outlier",
+        coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
+  }
+
+  def verdicts(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {
+    val f = flagged(df, check)
+    val framed = f.groupBy(col("__key")).agg(
+      sum(when(col("flag_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+      countDistinct(when(col("flag_outlier"), col(check.idCol))).as("n_subjects_flagged"),
+      count(lit(1)).as("n"),
+      first("cutoff").as("cut"))
+      .select(
+        col("__key").as("partition"),
+        lit("longitudinal_outliers").as("metric"),
+        col("n_outliers").cast("double").as("stat"),
+        col("cut").as("threshold"),
+        col("n").as("n_obs"),
+        (col("n_outliers") === 0).as("pass"))
+    Results.toVerdicts(framed, check.id, check.severity)
+  }
+
+  /** Violation rows: every row of every subject that has >= 1 flagged row
+    * (the reference's print=OUTLIERS semi-join, longitudinalPlot.sas:486-493),
+    * flagged rows labeled as such. */
+  def violations(df: DataFrame, check: LongitudinalOutlierCheck,
+      wholeSubject: Boolean = false): DataFrame = {
+    val f = flagged(df, check)
+    val rows =
+      if (!wholeSubject) f.filter(col("flag_outlier"))
+      else {
+        val flaggedIds = f.filter(col("flag_outlier"))
+          .select(col("__key"), col(check.idCol)).distinct()
+        f.join(flaggedIds, Seq("__key", check.idCol), "left_semi")
+      }
+    val v = rows.select(
+      col(check.idCol).cast("string").as("key"),
+      col("__key").as("partition"),
+      concat(lit(s"${check.outcome}="), round(col(check.outcome).cast("double"), 6).cast("string"),
+        lit(", rscaled="), round(col("rscaled"), 4).cast("string")).as("observed"),
+      concat(lit("|rscaled| < "), round(col("cutoff"), 4).cast("string")).as("expected"),
+      when(col("flag_outlier"), "within-subject outlier").otherwise("context row").as("label"))
+    Results.toViolations(v, check.id)
+  }
+}

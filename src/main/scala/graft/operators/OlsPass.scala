@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.stats.Ols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-pass distributed OLS (SURVEY.md M1-M3 realization).
+  *
+  * Pass 1 is a single codegen'd aggregation of the Gram matrix per scope
+  * group — `sum(xᵢ·xⱼ)` columns, partial-aggregated map-side, so the shuffle
+  * carries one ~p² row per group. The tiny normal equations are solved on
+  * the driver (the reference's PROC GLM does the same work inside one SAS
+  * process; our driver step is O(groups·p³) on KB of data). Pass 2 maps the
+  * fits back over the rows without any shuffle.
+  *
+  * class-variable one-hot levels are collected up front (guarded by a
+  * cardinality cap) — the reference introspects levels the same way
+  * (univariatePlot.sas:793-799 distinct-into-macro-var).
+  */
+object OlsPass {
+
+  final case class Design(
+      contVars: Seq[String],
+      discLevels: Seq[(String, Seq[String])], // var -> kept levels (all but last)
+      p: Int)
+
+  val MaxLevels = 1000
+
+  /** Probe class-variable levels (driver-side, tiny). Drops the last level
+    * per variable — the GLM reference cell, like SAS's g2 parameterization. */
+  def design(df: DataFrame, contVars: Seq[String], discVars: Seq[String]): Design = {
+    val discLevels = discVars.map { v =>
+      val lv = df.select(col(v).cast("string")).filter(col(v).isNotNull)
+        .distinct().limit(MaxLevels + 1).collect().map(_.getString(0)).sorted.toSeq
+      require(lv.size <= MaxLevels, s"class variable $v exceeds $MaxLevels levels")
+      v -> lv.dropRight(1)
+    }
+    Design(contVars, discLevels, 1 + contVars.size + discLevels.map(_._2.size).sum)
+  }
+
+  /** Feature expressions: intercept, continuous, one-hot dummies. */
+  def featureCols(d: Design): Seq[Column] =
+    lit(1.0) +:
+      d.contVars.map(c => col(c).cast("double")) ++:
+      d.discLevels.flatMap { case (v, levels) =>
+        levels.map(l => when(col(v).cast("string") === l, 1.0).otherwise(0.0))
+      }
+
+  /** Pass 1 + driver solve: per-scope-group OLS fits.
+    * @return map from scope-key string to fit. */
+  def fitPerGroup(df: DataFrame, outcome: String, d: Design,
+      scope: Seq[String]): Map[String, Ols.Fit] = {
+    val y = col(outcome).cast("double")
+    val xs = featureCols(d)
+    val p = d.p
+    val sums = Seq(count(lit(1)).as("n"), sum(y).as("sy"), sum(y * y).as("syy")) ++
+      xs.zipWithIndex.map { case (x, i) => sum(x * y).as(s"sxy_$i") } ++
+      (for (i <- 0 until p; j <- i until p)
+        yield sum(xs(i) * xs(j)).as(s"sxx_${i}_$j"))
+    val filtered = completeCasesSimple(df, outcome, d)
+    val grouped =
+      if (scope.isEmpty) filtered.groupBy()
+      else filtered.groupBy(scope.map(c => col(c).cast("string")): _*)
+    val stats = grouped.agg(sums.head, sums.tail: _*).collect()
+    stats.map { row =>
+      val key = scope.indices.map(i => Option(row.get(i)).map(_.toString).getOrElse("∅")).mkString("/")
+      val off = scope.size
+      val n = row.getLong(off + 0)
+      val sy = row.getDouble(off + 1)
+      val syy = row.getDouble(off + 2)
+      val sxy = Array.tabulate(p)(i => row.getDouble(off + 3 + i))
+      val sxx = new Array[Double](p * p)
+      var idx = off + 3 + p
+      for (i <- 0 until p; j <- i until p) {
+        val v = row.getDouble(idx); idx += 1
+        sxx(i * p + j) = v; sxx(j * p + i) = v
+      }
+      key -> Ols.solve(n, sy, syy, sxy, sxx)
+    }.toMap
+  }
+
+  /** Non-missing filter across analysis variables. */
+  def completeCasesSimple(df: DataFrame, outcome: String, d: Design): DataFrame = {
+    val needed = outcome +: (d.contVars ++ d.discLevels.map(_._1))
+    needed.foldLeft(df)((acc, c) => acc.filter(col(c).isNotNull))
+  }
+
+  /** Pass 2: per-row residual statistics (resid, leverage, rstudent, cookd,
+    * dfe, s2) via the broadcast fit map. No shuffle. */
+  def rowStats(df: DataFrame, outcome: String, d: Design,
+      scope: Seq[String], fits: Map[String, Ols.Fit]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(fits)
+    val statUdf = udf((key: String, feats: Seq[Double], yv: Double) => {
+      bc.value.get(key) match {
+        case Some(fit) =>
+          val (e, h, rs, cd) = Ols.rowStats(fit, feats.toArray, yv)
+          Some((e, h, rs, cd, fit.dfe, fit.s2))
+        case None => None
+      }
+    })
+    val keyCol =
+      if (scope.isEmpty) lit("")
+      else concat_ws("/", scope.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+    val filtered = completeCasesSimple(df, outcome, d)
+    filtered
+      .withColumn("__feats", array(featureCols(d): _*))
+      .withColumn("__key", keyCol)
+      .withColumn("__st", statUdf(col("__key"), col("__feats"), col(outcome).cast("double")))
+      .filter(col("__st").isNotNull)
+      .withColumn("resid", col("__st._1"))
+      .withColumn("leverage", col("__st._2"))
+      .withColumn("rstudent", col("__st._3"))
+      .withColumn("cookd", col("__st._4"))
+      .withColumn("dfe", col("__st._5"))
+      .withColumn("s2", col("__st._6"))
+      .drop("__st", "__feats")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic Common-Crawl-style pages table (FIXTURES.md §1,
+  * BASELINE.json input_hint): (url, warc_ts, html binary, text, lang).
+  *
+  * Generated distributed from `spark.range` — every field is a pure
+  * function of the row id via md5 arithmetic, so any scale regenerates
+  * byte-identically on any partition count (no rand(), no
+  * monotonically_increasing_id — determinism rule SURVEY.md §7.6(5)).
+  *
+  * Planted anomalies (drive every check family):
+  *  - ~0.1% of rows are exact duplicates of their predecessor (url+text)
+  *    → Uniqueness / exact-dedup violations;
+  *  - hosts Zipf-skewed (u³ law) → hot-key path for the uniqueness agg;
+  *  - host-id overflow on ~0.5% of rows → hosts absent from the dim table
+  *    → Referential violations;
+  *  - one (quarter, host-bucket) panel gets a shifted lang distribution
+  *    → CategoricalConsistency / Drift violations;
+  *  - ~1/5000 rows get a 10× longer text → n_chars regression outliers;
+  *  - host 3's `score` is 30% terminal-zero at the tenths place
+  *    → DigitPreference GOF flag.
+  */
+object Pages {
+
+  val Dict: Seq[String] = Seq(
+    "data", "web", "page", "crawl", "text", "index", "link", "host", "word",
+    "news", "shop", "wiki", "blog", "forum", "image", "video", "query", "tag")
+
+  val Langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+  val NumHosts = 100
+  val PlantedQuarter = "2023 Q3"
+  val PlantedHostBucket = 1
+
+  /** Uniform-ish [0,1) doubles derived from md5(id | salt). */
+  private def u(salt: Int) =
+    conv(substring(md5(concat_ws("|", col("base_id"), lit(salt))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+
+  def generate(spark: SparkSession, nRows: Long, numPartitions: Int = 32): DataFrame = {
+    val ids = spark.range(0, nRows, 1, numPartitions)
+    ids
+      // duplicate planting: row 1000k+999 clones row 1000k+998
+      .withColumn("base_id",
+        when(col("id") % 1000 === 999, col("id") - 1).otherwise(col("id")))
+      .withColumn("u_host", u(1))
+      .withColumn("u_ts", u(2))
+      .withColumn("u_lang", u(3))
+      .withColumn("u_score", u(4))
+      .withColumn("u_len", u(5))
+      // Zipf-ish skew: u³ piles mass onto low host ids (host 0 hottest);
+      // ~0.5% overflow into ids >= NumHosts (absent from the dim table)
+      .withColumn("host_id",
+        when(u(6) < 0.005, (floor(col("u_host") * 50) + NumHosts).cast("int"))
+          .otherwise(floor(pow(col("u_host"), 3.0) * NumHosts).cast("int")))
+      .withColumn("host_bucket", pmod(col("host_id"), lit(4)))
+      .withColumn("warc_ts",
+        timestamp_seconds(lit(1672531200L) + (col("u_ts") * lit(86400L * 728)).cast("long")))
+      .withColumn("quarter", concat(year(col("warc_ts")), lit(" Q"),
+        ceil(month(col("warc_ts")) / 3.0).cast("int")))
+      // lang: baseline multinomial; planted panel shifts mass to "zh"
+      .withColumn("lang",
+        when(col("quarter") === PlantedQuarter && col("host_bucket") === PlantedHostBucket,
+          when(col("u_lang") < 0.55, "zh").when(col("u_lang") < 0.70, "en")
+            .when(col("u_lang") < 0.82, "de").when(col("u_lang") < 0.92, "fr").otherwise("es"))
+          .otherwise(
+            when(col("u_lang") < 0.45, "en").when(col("u_lang") < 0.65, "de")
+              .when(col("u_lang") < 0.80, "fr").when(col("u_lang") < 0.92, "es").otherwise("zh")))
+      // text: deterministic words; ~1/5000 rows 10× longer (planted outlier)
+      .withColumn("n_words",
+        when(pmod(col("base_id"), lit(4999)) === 17, lit(600))
+          .otherwise((lit(20) + col("u_len") * 40).cast("int")))
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(1), col("n_words")), i =>
+          element_at(
+            lit(Dict.toArray),
+            (pmod(conv(substring(md5(concat_ws("_", col("base_id"), i)), 1, 4), 16, 10)
+              .cast("long"), lit(Dict.size)) + 1).cast("int")))))
+      // score: 2-decimal values; planted terminal-digit anomalies —
+      // host 3: 30% of values snapped to tenths digit 5 (GOF flag);
+      // host 7: 40% integer-recorded → sentinel "None" share flag
+      .withColumn("score_raw", round(col("u_score") * 100, 2))
+      .withColumn("score",
+        when(col("host_id") === 3 && u(7) < 0.3, floor(col("score_raw")) + 0.5)
+          .when(col("host_id") === 7 && u(7) < 0.4, round(col("score_raw")).cast("double"))
+          .otherwise(col("score_raw")))
+      .withColumn("url",
+        concat(lit("https://host"), col("host_id"), lit(".example/p/"), col("base_id")))
+      .withColumn("html",
+        to_binary(md5(concat(lit("html|"), col("url"))), lit("hex")))
+      .select("url", "warc_ts", "html", "text", "lang", "host_id", "host_bucket", "score")
+  }
+
+  /** Referential dimension: registry of allowed hosts (FIXTURES.md §2). */
+  def hosts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until NumHosts).map(h => (s"host$h.example", h, if (h % 3 == 0) "tier1" else "tier2"))
+      .toDF("host", "host_id", "crawl_tier")
+  }
+}
