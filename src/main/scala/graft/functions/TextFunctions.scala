@@ -33,13 +33,16 @@ object TextFunctions {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
   /** Word n-gram shingles (n >= 1). Docs shorter than n words yield a single
-    * whole-text shingle so every doc gets a signature. */
+    * whole-text shingle so every doc gets a signature. All element_at
+    * indices stay in bounds (ANSI mode). */
   def shingles(text: Column, n: Int): Column = {
     val w = words(text)
-    val joined = transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+    val full = transform(
+      sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*))
-    when(size(w) === 0, array().cast("array<string>")).otherwise(joined)
+    when(size(w) === 0, array().cast("array<string>"))
+      .when(size(w) < n, array(array_join(w, " ")))
+      .otherwise(full)
   }
 
   /** One MinHash value: min over shingles of md5(seed|shingle). Min over the
