@@ -20,11 +20,12 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), " +"))
 
-  /** Whitespace token count — pure arithmetic (portable, codegen'd). */
+  /** Whitespace token count — pure arithmetic (portable, codegen'd).
+    * Space runs are normalized to single spaces before counting. */
   def tokenCount(text: Column): Column = {
-    val t = trim(text)
+    val t = regexp_replace(trim(text), " +", " ")
     when(length(t) === 0, lit(0L))
-      .otherwise((length(t) - length(regexp_replace(t, " +", "")) + 1).cast("long"))
+      .otherwise((length(t) - length(regexp_replace(t, " ", "")) + 1).cast("long"))
   }
 
   /** BPE-ish sub-word token count: runs of letters, runs of digits, or a

@@ -31,7 +31,10 @@ object DigitPreference {
     * on the plain string rendering with trailing zeros trimmed.
     */
   def digitAt(v: Column, d: Double): Column = {
-    val raw = floor(v / d - lit(10.0) * floor(v / (10.0 * d)))
+    // epsilon guards the float truncation 0.57/0.01 → 56.999… (the SAS
+    // original has the same hazard; we fix it — deviation documented)
+    val eps = lit(1e-6)
+    val raw = floor(v / d + eps - lit(10.0) * floor(v / (10.0 * d) + eps))
     // decimal places of v as rendered (trailing zeros trimmed):
     // cast to string; fractional part length after removing trailing zeros
     val s = format_number(abs(v), 10) // fixed 10 decimals, grouping commas

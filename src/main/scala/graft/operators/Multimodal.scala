@@ -60,6 +60,6 @@ object Multimodal {
       .withColumn("n_frames", greatest(floor(length(col("payload")) / (16 * stride)), lit(1)).cast("int"))
       .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
       .withColumn("frame_digest",
-        sha2(concat(col("payload"), col("frame_idx").cast("binary")), 256))
+        sha2(concat(col("payload"), col("frame_idx").cast("string").cast("binary")), 256))
       .select("key", "frame_idx", "frame_digest")
 }

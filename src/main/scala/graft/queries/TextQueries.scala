@@ -173,7 +173,8 @@ object TextQueries {
              m AS (SELECT doc_id,
                  CAST(length(t) AS DOUBLE) AS n_chars,
                  CAST(CASE WHEN length(t) = 0 THEN 0
-                   ELSE length(t) - length(regexp_replace(t, ' +', '', 'g')) + 1 END AS DOUBLE) AS n_tok,
+                   ELSE length(regexp_replace(t, ' +', ' ', 'g'))
+                      - length(regexp_replace(t, ' +', '', 'g')) + 1 END AS DOUBLE) AS n_tok,
                  CAST(length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS punct,
                  CAST((length(p2) - length(replace(p2, ' the ', ''))) / 5
                     + (length(p2) - length(replace(p2, ' and ', ''))) / 5
@@ -196,7 +197,8 @@ object TextQueries {
         .orderBy("lang"),
       Some("""SELECT lang,
                CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE length(trim(text)) - length(regexp_replace(trim(text), ' +', '', 'g')) + 1 END) AS BIGINT) AS ws_tokens,
+                 ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
+                    - length(regexp_replace(trim(text), ' +', '', 'g')) + 1 END) AS BIGINT) AS ws_tokens,
                CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))) AS BIGINT) AS subword_tokens
              FROM documents GROUP BY 1 ORDER BY 1""")),
 

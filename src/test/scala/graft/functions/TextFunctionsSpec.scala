@@ -1,0 +1,107 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("tokenCount counts whitespace tokens, handles empties and runs") {
+    assert(one[Long](TextFunctions.tokenCount($"t"), "a b c") == 3L)
+    assert(one[Long](TextFunctions.tokenCount($"t"), "  a   b  ") == 2L)
+    assert(one[Long](TextFunctions.tokenCount($"t"), "") == 0L)
+    assert(one[Long](TextFunctions.tokenCount($"t"), "word") == 1L)
+  }
+
+  test("subwordTokenCount splits letter/digit/punct runs") {
+    assert(one[Long](TextFunctions.subwordTokenCount($"t"), "ab 12 c.") == 4L)
+  }
+
+  test("shingles: n-grams, short docs collapse to whole text") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles($"t", 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles($"t", 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(short == Seq("a b"))
+    val empty = Seq("").toDF("t")
+      .select(TextFunctions.shingles($"t", 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("minhash signature is deterministic and permutation-stable") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+    val s1 = df.select(TextFunctions.minhashSignature($"t", 3, 4).as("s"))
+      .collect()(0).getSeq[String](0)
+    val s2 = df.select(TextFunctions.minhashSignature($"t", 3, 4).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(s1 == s2 && s1.size == 4)
+  }
+
+  test("identical texts share all minhashes; disjoint texts share none") {
+    val df = Seq(("a b c d e f", "a b c d e f", "x y z w v u")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      TextFunctions.minhashSignature($"t1", 2, 8).as("s1"),
+      TextFunctions.minhashSignature($"t2", 2, 8).as("s2"),
+      TextFunctions.minhashSignature($"t3", 2, 8).as("s3")).collect()(0)
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(r.getSeq[String](0).zip(r.getSeq[String](2)).count { case (a, b) => a == b } == 0)
+  }
+
+  test("ngramJaccard: identity 1, disjoint 0") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("a", "b", "c")
+    val r = df.select(
+      TextFunctions.ngramJaccard($"a", $"b", 2).as("same"),
+      TextFunctions.ngramJaccard($"a", $"c", 2).as("diff")).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("wordOccurrences counts overlapping-separator tokens") {
+    assert(one[Long](TextFunctions.wordOccurrences($"t", "the"), "the the the") == 3L)
+    assert(one[Long](TextFunctions.wordOccurrences($"t", "the"), "then other lathe") == 0L)
+    assert(one[Long](TextFunctions.wordOccurrences($"t", "the"), "the") == 1L)
+  }
+
+  test("langId picks the marker-dominant language deterministically") {
+    assert(one[String](TextFunctions.langId($"t"), "the cat and the dog of note") == "en")
+    assert(one[String](TextFunctions.langId($"t"), "der hund und der nicht") == "de")
+    assert(one[String](TextFunctions.langId($"t"), "xyz qqq zzz") == "und")
+  }
+
+  test("simhash: equal tokens → 0 hamming; near text → small hamming") {
+    val df = Seq(("a b c d e f g h i j", "a b c d e f g h i j",
+      "a b c d e f g h i k")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      SimHash64.hamming(SimHash64.ofText($"t1"), SimHash64.ofText($"t2")).as("same"),
+      SimHash64.hamming(SimHash64.ofText($"t1"), SimHash64.ofText($"t3")).as("near"))
+      .collect()(0)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) > 0 && r.getInt(1) <= 32, s"near hamming ${r.getInt(1)}")
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+    val r = df.select(TextFunctions.fingerprint($"a").as("fa"),
+      TextFunctions.fingerprint($"b").as("fb")).collect()(0)
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("cosine: identical = 1, orthogonal = 0, zero-vector safe") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), Seq(-2.0f, 1.0f), Seq(0.0f, 0.0f)))
+      .toDF("a", "b", "c", "z")
+    val r = df.select(
+      VectorFunctions.cosine($"a", $"b").as("same"),
+      VectorFunctions.cosine($"a", $"c").as("orth"),
+      VectorFunctions.cosine($"a", $"z").as("zero")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(r.getDouble(2) == 0.0)
+  }
+}

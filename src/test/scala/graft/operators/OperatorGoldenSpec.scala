@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.checks._
+import graft.stats.Distributions
+import org.apache.spark.sql.functions._
+
+/** Golden flagged-record sets (SURVEY.md §5.1, FIXTURES.md §3): tiny
+  * hand-built tables with planted anomalies; expected flags derived from
+  * independent plain-Scala computations inside the test, not the engine.
+  */
+class OperatorGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- digit extraction semantics (DigitPref.sas:133-158) ----------------
+
+  test("digitAt reproduces the reference's place arithmetic + sentinel") {
+    val rows = Seq(12.34, 12.3, 12.0, 5.0, 0.57, 99.99)
+    val df = rows.toDF("v").select(
+      col("v"),
+      DigitPreference.digitAt(col("v"), 1.0).as("ones"),
+      DigitPreference.digitAt(col("v"), 0.1).as("tenths"),
+      DigitPreference.digitAt(col("v"), 0.01).as("cents"))
+    val m = df.collect().map(r => r.getDouble(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(m(12.34) == ((2, 3, 4)))
+    assert(m(12.3) == ((2, 3, -1)))  // no 2nd decimal recorded → sentinel
+    assert(m(12.0) == ((2, -1, -1))) // integer-recorded → sentinel at both
+    assert(m(5.0) == ((5, -1, -1)))
+    assert(m(0.57) == ((0, 5, 7)))
+    assert(m(99.99) == ((9, 9, 9)))
+  }
+
+  test("DigitPreference flags planted terminal-digit cluster and integer recording") {
+    // group A: balanced digits 0-9 ×10 (no flag);
+    // group B: 60% terminal-5 (GOF flag); group C: integers (none-share flag)
+    val a = (0 until 100).map(i => ("A", 10.0 + i % 10 * 0.1 + 0.01)) // digits 1..9,0 at cents? keep tenths
+    val aRows = (0 until 100).map(i => ("A", 10.0 + (i % 10) / 10.0 + 0.01)) // tenths digit uniform
+    val bRows = (0 until 100).map(i =>
+      ("B", if (i < 60) 20.5 + i else 20.0 + (i % 10) / 10.0 + 0.01))
+    val cRows = (0 until 100).map(i => ("C", (30 + i).toDouble))
+    val df = (aRows ++ bRows ++ cRows).toDF("grp", "v")
+    val check = DigitPreferenceCheck("dp", "v", place = 0.1, groupCol = "grp",
+      alpha = 0.001, noneThreshold = 20.0, minNum = 10)
+    val t = DigitPreference.tests(df, check).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Boolean]("flag_gof"), r.getAs[Boolean]("flag_none"))).toMap
+    assert(t("A") == ((false, false)), s"A: ${t("A")}")
+    assert(t("B")._1, "B must flag GOF")
+    assert(t("C")._2, "C must flag none-share")
+    assert(!t("C")._1, "C has no GOF data at all (all sentinel)")
+    val v = DigitPreference.violations(df, check).collect()
+    assert(v.exists(_.getAs[String]("key") == "B"))
+    assert(v.exists(_.getAs[String]("key") == "C"))
+    assert(!v.exists(_.getAs[String]("key") == "A"))
+  }
+
+  // ---- categorical consistency (Categorical_Check.sas) -------------------
+
+  test("CategoricalConsistency flags the planted off-distribution site, Holm-adjusted") {
+    // sites S1..S3 share a resp distribution; S4 inverted. Independent
+    // oracle: plain-Scala chi-square + Holm over the same contingency.
+    val base = for {
+      site <- Seq("S1", "S2", "S3")
+      (resp, n) <- Seq(("yes", 60), ("no", 30), ("na", 10))
+      i <- 0 until n
+    } yield (site, resp)
+    val shifted = for {
+      (resp, n) <- Seq(("yes", 10), ("no", 30), ("na", 60))
+      i <- 0 until n
+    } yield ("S4", resp)
+    val df = (base ++ shifted).toDF("site", "resp")
+    val check = CategoricalConsistencyCheck("cc", "resp", "site", alphaBar = 0.05)
+    val got = CategoricalConsistency.tests(df, check).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("stat"), r.getAs[Double]("p_holm"))).toMap
+
+    // independent computation (one-vs-rest chi-square per site over the
+    // full 2xC table, Holm across the 4 sites)
+    val counts = (base ++ shifted).groupBy(identity).map { case ((s, r), xs) => (s, r, xs.size) }
+    val sites = Seq("S1", "S2", "S3", "S4")
+    val resps = Seq("na", "no", "yes")
+    val total = 400.0
+    def cnt(s: String, r: String) = counts.find(c => c._1 == s && c._2 == r).map(_._3).getOrElse(0).toDouble
+    val rawPs = sites.map { s =>
+      val nG = resps.map(cnt(s, _)).sum
+      val stat = resps.map { r =>
+        val o1 = cnt(s, r)
+        val colTot = sites.map(cnt(_, r)).sum
+        val o2 = colTot - o1
+        val e1 = nG * colTot / total
+        val e2 = (total - nG) * colTot / total
+        (if (e1 > 0) (o1 - e1) * (o1 - e1) / e1 else 0.0) +
+          (if (e2 > 0) (o2 - e2) * (o2 - e2) / e2 else 0.0)
+      }.sum
+      s -> (stat, Distributions.chiSqPValue(stat, resps.size - 1))
+    }
+    val holmPs = graft.stats.Holm.adjust(rawPs.map(_._2._2))
+    rawPs.zip(holmPs).foreach { case ((s, (stat, _)), ph) =>
+      assert(math.abs(got(s)._1 - stat) < 1e-9, s"$s stat")
+      assert(math.abs(got(s)._2 - ph) < 1e-9, s"$s p_holm")
+    }
+    // verdict shape: S4 fails, S1-S3's own one-vs-rest also shifts (the
+    // planted site contaminates the pool) — but S4 must be the most extreme
+    assert(got("S4")._2 < 0.05)
+    assert(got("S4")._1 == got.values.map(_._1).max)
+    val viol = CategoricalConsistency.violations(df, check).collect()
+    assert(viol.exists(_.getAs[String]("key") == "S4"))
+  }
+
+  test("CategoricalConsistency minNum excludes small groups (Categorical_Check.sas:254)") {
+    val rows = Seq.fill(50)(("big", "x")) ++ Seq.fill(50)(("big2", "y")) ++
+      Seq(("small", "x"), ("small", "y"))
+    val df = rows.toDF("site", "resp")
+    val t = CategoricalConsistency.tests(df,
+      CategoricalConsistencyCheck("cc", "resp", "site", minNum = 10)).collect()
+    assert(!t.exists(_.getAs[String]("grp") == "small"))
+  }
+
+  // ---- regression outliers (univariatePlot/BivariatePlot) ----------------
+
+  test("RegressionOutlier flags the planted point; missing outcomes excluded") {
+    val clean = (1 to 30).map(i => (s"id$i", i.toDouble, 2.0 + 3.0 * i +
+      (if (i % 2 == 0) 0.4 else -0.4)))
+    val outlier = Seq(("idX", 15.0, 120.0)) // far off the line
+    val missing = Seq(("idM", 5.0, Double.NaN))
+    val df = (clean ++ outlier).toDF("id", "x", "y")
+      .unionByName(missing.toDF("id", "x", "y")
+        .select(col("id"), col("x"), when(isnan(col("y")), lit(null)).otherwise(col("y")).as("y")))
+    val check = RegressionOutlierCheck("ro", "y", "id",
+      contCovariates = Seq("x"), cutoffPct = 95)
+    val f = RegressionOutlier.flagged(df, check).collect()
+    assert(f.length == 31) // the null-y row is excluded
+    val flagged = f.filter(_.getAs[Boolean]("flag_outlier")).map(_.getAs[String]("id"))
+    assert(flagged.contains("idX"))
+    assert(flagged.length <= 3, s"too many flags: ${flagged.mkString(",")}")
+    val v = RegressionOutlier.violations(df, check).collect()
+    assert(v.exists(_.getAs[String]("key") == "idX"))
+  }
+
+  test("RegressionOutlier with class covariate and Cook's D cutoff (BivariatePlot.sas:481)") {
+    val rows = (1 to 40).map { i =>
+      val sex = if (i % 2 == 0) "M" else "F"
+      val base = if (sex == "M") 10.0 else 5.0
+      (s"id$i", sex, i.toDouble, base + 0.5 * i + (if (i % 3 == 0) 0.2 else -0.1))
+    } :+ (("idHL", "M", 200.0, 500.0)) // high-leverage influential point
+    val df = rows.toDF("id", "sex", "x", "y")
+    val check = RegressionOutlierCheck("ro2", "y", "id",
+      contCovariates = Seq("x"), discCovariates = Seq("sex"),
+      cutoffPct = 95, cookCutoff = Some(4.0))
+    val f = RegressionOutlier.flagged(df, check).collect()
+    val hl = f.find(_.getAs[String]("id") == "idHL").get
+    assert(hl.getAs[Boolean]("flag_cookd"), "high-leverage point must trip Cook's D")
+  }
+
+  // ---- group variance (groupComparisons.sas) ------------------------------
+
+  test("GroupVariance flags the 3x-variance group via Brown-Forsythe + Holm") {
+    // note: one-vs-rest comparisons (the reference's design,
+    // groupComparisons.sas:425-453) flag clean groups too when an extreme
+    // group contaminates their "rest" pool — G4 must be the most extreme.
+    val rng = new scala.util.Random(7)
+    val rows =
+      (1 to 120).map(i => ("G1", rng.nextGaussian())) ++
+      (1 to 120).map(i => ("G2", rng.nextGaussian())) ++
+      (1 to 120).map(i => ("G3", rng.nextGaussian())) ++
+      (1 to 120).map(i => ("G4", 3.0 * rng.nextGaussian()))
+    val df = rows.toDF("grp", "y")
+    val check = GroupVarianceCheck("gv", "y", "grp", alpha = 0.05)
+    val t = GroupVariance.tests(df, check).collect()
+      .map(r => r.getAs[String]("cmp") ->
+        (r.getAs[Double]("stat"), r.getAs[Double]("p_holm"))).toMap
+    assert(t("G4")._2 < 0.05, s"G4 p=${t("G4")._2}")
+    assert(t("G4")._1 == t.values.map(_._1).max, "planted group is most extreme")
+    val v = GroupVariance.violations(df, check).collect()
+    assert(v.map(_.getAs[String]("key")).contains("G4"))
+
+    // homogeneous groups → no flags at all
+    val clean = ((1 to 120).map(i => ("H1", rng.nextGaussian())) ++
+      (1 to 120).map(i => ("H2", rng.nextGaussian())) ++
+      (1 to 120).map(i => ("H3", rng.nextGaussian()))).toDF("grp", "y")
+    val tc = GroupVariance.tests(clean, GroupVarianceCheck("gv2", "y", "grp",
+      alpha = 0.05)).collect()
+    assert(tc.forall(_.getAs[Double]("p_holm") >= 0.05),
+      tc.map(r => r.getAs[String]("cmp") -> r.getAs[Double]("p_holm")).toSeq.toString)
+  }
+
+  test("GroupVariance skips single-group scopes (groupComparisons.sas:264)") {
+    val df = ((1 to 30).map(i => ("A", "only", i.toDouble)) ++
+      (1 to 30).map(i => ("B", "g1", i.toDouble)) ++
+      (1 to 30).map(i => ("B", "g2", i * 2.0))).toDF("stratum", "grp", "y")
+    val t = GroupVariance.tests(df,
+      GroupVarianceCheck("gv", "y", "grp", scope = Seq("stratum"))).collect()
+    assert(!t.exists(_.getAs[String]("__key") == "A"))
+    assert(t.count(_.getAs[String]("__key") == "B") == 2)
+  }
+
+  // ---- longitudinal outliers (longitudinalPlot.sas) -----------------------
+
+  test("LongitudinalOutlier flags the planted within-subject spike") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 20).flatMap { s =>
+      val level = s * 1.0
+      (1 to 10).map { t =>
+        val spike = if (s == 7 && t == 5) 25.0 else 0.0
+        (s"subj$s", t.toDouble, level + 0.1 * rng.nextGaussian() + spike)
+      }
+    }
+    val df = rows.toDF("subj", "visit", "aval")
+    val check = LongitudinalOutlierCheck("lo", "aval", "subj", cutoffPct = 99)
+    val f = LongitudinalOutlier.flagged(df, check)
+      .filter(col("flag_outlier")).collect()
+    assert(f.exists(r => r.getAs[String]("subj") == "subj7" &&
+      r.getAs[Double]("visit") == 5.0), "planted spike must flag")
+    val v = LongitudinalOutlier.violations(df, check, wholeSubject = true).collect()
+    assert(v.count(_.getAs[String]("key") == "subj7") == 10,
+      "print=OUTLIERS semi-join returns all rows of the flagged subject")
+  }
+
+  // ---- drift ---------------------------------------------------------------
+
+  test("Drift flags the planted shifted window") {
+    val rows = (0 until 4).flatMap { q =>
+      (1 to 500).map { i =>
+        val base = (i % 100) / 10.0
+        val v = if (q == 2) base + 6.0 else base // planted shift in Q3
+        (java.sql.Timestamp.valueOf(f"2023-${q * 3 + 1}%02d-15 00:00:00"), v)
+      }
+    }
+    val df = rows.toDF("ts", "v")
+    val t = Drift.tests(df, DriftCheck("dr", "v", "ts", interval = "quarter",
+      bins = 12, alpha = 0.01)).collect()
+      .map(r => r.getAs[String]("panel") ->
+        (r.getAs[Double]("stat"), r.getAs[Boolean]("pass"))).toMap
+    assert(!t("2023 Q3")._2, "shifted quarter must fail")
+    assert(t("2023 Q3")._1 == t.values.map(_._1).max,
+      "shifted quarter is the most extreme window")
+
+    // no-drift data → every window passes
+    val clean = (0 until 4).flatMap { q =>
+      (1 to 500).map { i =>
+        (java.sql.Timestamp.valueOf(f"2023-${q * 3 + 1}%02d-15 00:00:00"),
+          (i % 100) / 10.0)
+      }
+    }.toDF("ts", "v")
+    val tc = Drift.tests(clean, DriftCheck("dr2", "v", "ts",
+      interval = "quarter", bins = 12, alpha = 0.01)).collect()
+    assert(tc.forall(_.getAs[Boolean]("pass")), "clean windows must pass")
+  }
+
+  // ---- uniqueness / referential / byte identity ---------------------------
+
+  test("Uniqueness counts extra rows; Referential finds orphans; ByteIdentity catches divergence") {
+    val df = Seq(
+      ("u1", "h1", "t1"), ("u2", "h1", "t2"), ("u2", "h1", "t2"),
+      ("u3", "hX", "t3"), ("u4", "h2", "t4"), ("u4", "h2", "DIFFERENT")
+    ).toDF("url", "host", "text")
+    val uq = Uniqueness.verdicts(df, UniquenessCheck("u", Seq("url"))).collect()(0)
+    assert(!uq.getAs[Boolean]("pass") && uq.getAs[Double]("stat") == 2.0)
+    val hosts = Seq("h1", "h2").toDF("host_ok")
+    val rc = ReferentialCheck("r", "host", "hosts", "host_ok")
+    val rv = Referential.verdicts(df, hosts, rc).collect()(0)
+    assert(!rv.getAs[Boolean]("pass") && rv.getAs[Double]("stat") == 1.0)
+    val orphans = Referential.violations(df, hosts, rc, "url").collect()
+    assert(orphans.map(_.getAs[String]("key")).toSeq == Seq("u3"))
+    val bi = ByteIdentity.verdicts(df, ByteIdentityCheck("b", "url", "text")).collect()(0)
+    assert(!bi.getAs[Boolean]("pass") && bi.getAs[Double]("stat") == 1.0)
+    val bv = ByteIdentity.violations(df, ByteIdentityCheck("b", "url", "text")).collect()
+    assert(bv.map(_.getAs[String]("key")).toSeq == Seq("u4"))
+  }
+
+  test("ColumnStats fused pass: thresholds verdict correctly") {
+    val df = (1 to 100).map(i => (if (i <= 10) None else Some(i.toDouble)))
+      .toDF("v")
+    val checks = Seq(ColumnStatsCheck("cs", "v",
+      maxMissingFrac = Some(0.05), minAllowed = Some(0.0),
+      maxAllowed = Some(100.0), quantileBounds = Seq((0.5, 40.0, 70.0))))
+    val verdicts = ColumnStats.verdicts(ColumnStats.profile(df, checks), checks)
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Boolean]("pass")).toMap
+    assert(!verdicts("missing_frac")) // 10% > 5%
+    assert(verdicts("min") && verdicts("max"))
+    assert(verdicts("q0.5")) // median ≈ 55 of non-null 11..100
+  }
+}
