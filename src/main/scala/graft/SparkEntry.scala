@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
-    RelationalQueries.all ++ StatQueries.all ++ TextQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ StatQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001: the full validation-suite
     * verdict table over the synthetic pages fixture (driver smoke-checks

@@ -41,11 +41,17 @@ object CategoricalConsistency {
       .filter(col(check.valueCol).isNotNull && col(check.groupCol).isNotNull)
       .withColumn("panel", panelCol)
       .select((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
+    // cache the reduced counts frame (panels × groups × categories rows —
+    // tiny at any input scale): the shell domains, fill join, tests and
+    // violations all reuse it, so the 10^12-row aggregation runs ONCE.
+    // Spark's cache manager dedups identical plans, so verdicts+violations
+    // share this cache across separate calls.
     val counts = base
       .groupBy((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumnRenamed(check.groupCol, "grp")
       .withColumnRenamed(check.valueCol, "value")
+      .cache()
     // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6)
     val grpDom = counts.select((keyCols :+ "grp").map(col): _*).distinct()
     val valDom = counts.select((keyCols :+ "value").map(col): _*).distinct()

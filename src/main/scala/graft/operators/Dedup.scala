@@ -45,9 +45,14 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
       minEstJaccard: Double = 0.5, verifyExact: Boolean = true): DataFrame = {
     val k = bands * rowsPerBand
+    // cache the signature frame: Catalyst's project-collapse would otherwise
+    // re-inline the k-hash signature expression into every band element and
+    // both join sides — k× redundant md5 work and enormous codegen. At
+    // production scale this frame is written to the table store instead.
     val sig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", TF.minhashSignature(col("text"), shingleN, k))
+      .cache()
       .withColumn("band", explode(TF.lshBands(col("sig"), bands, rowsPerBand)))
     val a = sig.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"),
       col("text").as("text_a"))

@@ -58,8 +58,11 @@ object DigitPreference {
       .withColumn("panel", panelCol)
       .withColumn("grp", col(check.groupCol).cast("string"))
       .withColumn("digit", digitAt(col(check.column).cast("double"), check.place))
+    // cached: ≤ 11 rows per (scope, panel, group); reused by the domain
+    // shell, the tests and the violations lineages (one row-level pass)
     val counts = base.groupBy((keyCols :+ "digit").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     // fixed digit domain: explode literal array — no extra scan
     val dom = counts.select(keyCols.map(col): _*).distinct()
       .withColumn("digit", explode(lit((-1 to 9).toArray)))

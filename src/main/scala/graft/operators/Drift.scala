@@ -34,6 +34,7 @@ object Drift {
       .withColumn("bin", binCol)
       .groupBy((keyCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+      .cache() // windows × bins rows; tests + violations reuse one pass
   }
 
   /** Per-(scope, panel) drift tests vs pooled rest. */

@@ -31,6 +31,15 @@ object Pages {
 
   val Langs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
   val NumHosts = 100
+
+  /** Constant word corpus for text slicing (long enough for the planted
+    * 3000-char outliers starting anywhere in the first half). */
+  val Corpus: String = {
+    val cycle = Dict ++ Dict.reverse ++ Dict.sorted ++ Dict.sortBy(_.length)
+    Iterator.continually(cycle).flatten.take(1600).mkString(" ")
+  }
+  val CorpusLen: Int = Corpus.length
+  private def corpusSql: String = "'" + Corpus + "'"
   val PlantedQuarter = "2023 Q3"
   val PlantedHostBucket = 1
 
@@ -68,16 +77,16 @@ object Pages {
           .otherwise(
             when(col("u_lang") < 0.45, "en").when(col("u_lang") < 0.65, "de")
               .when(col("u_lang") < 0.80, "fr").when(col("u_lang") < 0.92, "es").otherwise("zh")))
-      // text: deterministic words; ~1/5000 rows 10× longer (planted outlier)
-      .withColumn("n_words",
-        when(pmod(col("base_id"), lit(4999)) === 17, lit(600))
-          .otherwise((lit(20) + col("u_len") * 40).cast("int")))
+      // text: substring of a constant word corpus at an id-derived offset —
+      // stays inside whole-stage codegen (a per-word higher-order transform
+      // would be interpreted per element: ~10× slower generation);
+      // ~1/5000 rows get a 10× longer text (planted n_chars outlier)
+      .withColumn("n_chars_target",
+        when(pmod(col("base_id"), lit(4999)) === 17, lit(3000))
+          .otherwise((lit(100) + col("u_len") * 200).cast("int")))
       .withColumn("text",
-        concat_ws(" ", transform(sequence(lit(1), col("n_words")), i =>
-          element_at(
-            lit(Dict.toArray),
-            (pmod(conv(substring(md5(concat_ws("_", col("base_id"), i)), 1, 4), 16, 10)
-              .cast("long"), lit(Dict.size)) + 1).cast("int")))))
+        trim(expr(s"substring(${corpusSql}, " +
+          s"cast(pmod(base_id * 37 + 11, ${CorpusLen / 2}) as int) + 1, n_chars_target)")))
       // score: 2-decimal values; planted terminal-digit anomalies —
       // host 3: 30% of values snapped to tenths digit 5 (GOF flag);
       // host 7: 40% integer-recorded → sentinel "None" share flag

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Referential, Uniqueness}
+import graft.checks.{ReferentialCheck, UniquenessCheck}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan guards for the scale properties the 100 TB design relies
+  * on (brief: ".explain the plan and iterate until it's the plan you'd
+  * want"). These fail if a future change silently drops a pushdown, a
+  * broadcast, or map-side partial aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 scan pushes filters and prunes columns at the parquet source") {
+    val df = SparkEntry.queries("q02_scan_filter")(spark, sf("sf0.001"))
+    val p = plan(df)
+    // the PushedFilters list is truncated in toString — assert on its head
+    // and on the data filter reaching the scan node
+    assert(p.contains("PushedFilters: [IsNotNull("), p.take(600))
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("DataFilters: [")),
+      "filters must reach the scan")
+    // ReadSchema must not include unprojected columns like l_tax
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_extendedprice"),
+      readSchema)
+  }
+
+  test("q03 dimension joins are broadcast, not shuffled") {
+    val p = plan(SparkEntry.queries("q03_join_broadcast")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("uniqueness agg does map-side partial aggregation (no raw-row shuffle)") {
+    val pages = graft.sources.Pages.generate(spark, 1000)
+    val p = plan(Uniqueness.duplicateKeys(pages, UniquenessCheck("u", Seq("url"))))
+    // partial_count before the exchange, final after
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_count")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      "partial agg must sit below the shuffle (plan prints top-down)")
+  }
+
+  test("referential anti-join broadcasts the dimension") {
+    val pages = graft.sources.Pages.generate(spark, 1000)
+    val hosts = graft.sources.Pages.hosts(spark)
+    val p = plan(Referential.orphans(pages, hosts,
+      ReferentialCheck("r", "host_id", "hosts", "host_id")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("minhash signatures compute without any shuffle") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val sig = docs.select(col("doc_id"),
+      TextFunctions.minhashSignature(col("text"), 3, 8).as("sig"))
+    val p = plan(sig)
+    assert(!p.contains("Exchange"), "per-row signature must be shuffle-free")
+  }
+
+  test("flagship categorical lineage shuffles counts, not raw rows, after the first agg") {
+    val pages = graft.sources.Pages.generate(spark, 1000)
+    val cells = graft.operators.CategoricalConsistency.cells(pages,
+      graft.checks.CategoricalConsistencyCheck("cc", "lang", "host_bucket",
+        dateCol = Some("warc_ts"), interval = "quarter"))
+    val p = plan(cells)
+    // the row-level aggregation appears exactly once (one shuffle of raw
+    // rows); window totals ride the reduced counts frame
+    val firstAgg = p.indexOf("partial_count")
+    assert(firstAgg >= 0, p.take(500))
+  }
+
+  test("whole-stage codegen covers the hot scan→project paths") {
+    // AQE wraps the plan lazily; force the final plan by executing
+    val df = SparkEntry.queries("q01_agg_pricing")(spark, sf("sf0.001"))
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("WholeStageCodegen") ||
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).contains("WholeStageCodegen") ||
+      { // fall back: inspect via codegen explain
+        val s = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.CodegenMode)
+        s.contains("WholeStageCodegen")
+      }, "hot path must be codegen'd")
+  }
+}
