@@ -1,0 +1,67 @@
+package graft
+
+import graft.engine.Runner
+import graft.queries.Flagship
+import graft.sources.Pages
+import org.apache.spark.sql.SparkSession
+
+/** North-rule scaling evidence: the SAME validation suite over the SAME
+  * input at N and 4N cores (the sandbox proxy for N vs 4N executors).
+  *
+  * The sandbox host carries drifting background load from other tenants,
+  * so configurations are ALTERNATED within one process and repeated; the
+  * best-of-reps per configuration estimates uncontended throughput.
+  * Efficiency = T(N-core) / (4 × T(4N-core)) on suite wall time
+  * (equivalently throughput(4N) / (4 × throughput(N))).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "2000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val lo = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val hi = lo * 4
+    val results = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+
+    def runOnce(cpus: Int, rows: Long = nPages): Double = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"graft-scaling-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val pages = Pages.generate(spark, rows, numPartitions = cpus * 4)
+        pages.cache().count() // input materialized — timing excludes generation
+        val t0 = System.nanoTime()
+        val res = Runner.run(pages, Flagship.suite(spark))
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        res.violations.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.stop()
+    }
+
+    // untimed small warmup: JIT + codegen caches, so rep 1 isn't penalized
+    { val w = runOnce(hi, math.min(nPages, 1000000L))
+      println(f"[scaling] warmup cores=$hi suite=${w}%7.2f s") }
+    (1 to reps).foreach { rep =>
+      Seq(lo, hi).foreach { cpus =>
+        val sec = runOnce(cpus)
+        results(cpus) = sec :: results(cpus)
+        println(f"[scaling] rep=$rep cores=$cpus%-3d suite=${sec}%7.2f s " +
+          f"throughput=${nPages / sec}%9.0f docs/s")
+      }
+    }
+    val bestLo = results(lo).min
+    val bestHi = results(hi).min
+    val eff = bestLo / (4.0 * bestHi)
+    println(f"[scaling] best local[$lo]=${bestLo}%.2f s (${nPages / bestLo}%.0f docs/s), " +
+      f"best local[$hi]=${bestHi}%.2f s (${nPages / bestHi}%.0f docs/s)")
+    println(f"""{"metric":"scaling efficiency T($lo)/(4*T($hi))","value":$eff%.3f,""" +
+      f""""unit":"ratio","n_cores":$lo,"n4_cores":$hi,"pages":$nPages,""" +
+      f""""best_sec_n":$bestLo%.2f,"best_sec_4n":$bestHi%.2f,""" +
+      f""""docs_per_sec_n":${nPages / bestLo}%.0f,"docs_per_sec_4n":${nPages / bestHi}%.0f}""")
+  }
+}

@@ -11,7 +11,7 @@ object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
     RelationalQueries.all ++ StatQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ MiscQueries.all
+      VectorQueries.all ++ MiscQueries.all ++ OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001: the full validation-suite
     * verdict table over the synthetic pages fixture (driver smoke-checks

@@ -5,17 +5,43 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Byte-identity audit (north-rule row invariant): the engine never
-  * rewrites `text`; this check proves it by asserting one sha2-256 per key.
-  * A fresh run and a checkpoint-resumed run produce identical digests, and
-  * any two rows claiming the same key must agree byte-for-byte.
+  * rewrites `text`; this check proves it by asserting one payload digest
+  * per key.
+  *
+  * Two-phase like Uniqueness: phase 1 groups by xxhash64(key) and detects
+  * candidate buckets via min≠max of the 64-bit payload prefix of the
+  * sha2-256 digest (min≠max ⟺ >1 distinct value — a single-level
+  * aggregation, no count-distinct expand; the shuffle carries 16 bytes per
+  * distinct key). Phase 2 exact-verifies candidates with the full 256-bit
+  * digest, so a reported conflict is never a hash artifact. A divergence
+  * hidden by a sha2-prefix collision would need a 2⁻⁶⁴ event on the same
+  * key — cryptographically negligible, and documented here.
   */
 object ByteIdentity {
 
-  def conflicts(df: DataFrame, check: ByteIdentityCheck): DataFrame =
-    df.groupBy(col(check.keyCol))
+  private def digest64(c: org.apache.spark.sql.Column) =
+    xxhash64(sha2(c.cast("binary"), 256))
+
+  /** Candidate keys (phase 1): key-hash buckets whose payload digests are
+    * not all identical (or that hold >1 key via collision — filtered in
+    * phase 2). */
+  def candidateHashes(df: DataFrame, check: ByteIdentityCheck): DataFrame =
+    df.groupBy(xxhash64(col(check.keyCol)).as("__kh"))
+      .agg(min(digest64(col(check.column))).as("__a"),
+        max(digest64(col(check.column))).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select("__kh")
+
+  /** Exact conflicts (phase 2): keys whose payload bytes diverge. */
+  def conflicts(df: DataFrame, check: ByteIdentityCheck): DataFrame = {
+    val subset = df
+      .withColumn("__kh", xxhash64(col(check.keyCol)))
+      .join(candidateHashes(df, check), Seq("__kh"), "left_semi")
+    subset.groupBy(col(check.keyCol))
       .agg(countDistinct(sha2(col(check.column).cast("binary"), 256)).as("n_digests"),
         count(lit(1)).as("n_rows"))
       .filter(col("n_digests") > 1)
+  }
 
   def verdicts(df: DataFrame, check: ByteIdentityCheck): DataFrame = {
     val framed = conflicts(df, check).groupBy().agg(

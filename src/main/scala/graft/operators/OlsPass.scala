@@ -61,7 +61,14 @@ object OlsPass {
     val grouped =
       if (scope.isEmpty) filtered.groupBy()
       else filtered.groupBy(scope.map(c => col(c).cast("string")): _*)
-    val stats = grouped.agg(sums.head, sums.tail: _*).collect()
+    // the collected frame is one ~p²-double row per scope group — guard the
+    // driver against an unbounded scope (same role as the reference's
+    // by-value cardinality assumptions)
+    val MaxGroups = 100000
+    val stats = grouped.agg(sums.head, sums.tail: _*).limit(MaxGroups + 1).collect()
+    require(stats.length <= MaxGroups,
+      s"OLS scope ${scope.mkString(",")} exceeds $MaxGroups groups — " +
+        "coarsen the scope or shard the fit")
     stats.map { row =>
       val key = scope.indices.map(i => Option(row.get(i)).map(_.toString).getOrElse("∅")).mkString("/")
       val off = scope.size

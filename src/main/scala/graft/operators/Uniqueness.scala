@@ -1,26 +1,46 @@
 package graft.operators
 
 import graft.checks.{Results, UniquenessCheck}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Key-uniqueness at web scale.
+/** Key-uniqueness at web scale — two-phase exact check.
   *
-  * Plan shape: `groupBy(keys).count.filter(count > 1)`. Spark's hash
-  * aggregate does map-side partial aggregation, so each executor emits at
-  * most one (key, partial-count) row per distinct local key — the shuffle
-  * carries distinct keys, not rows. Skewed hot keys (one url crawled
-  * millions of times) are exactly the keys we must report, and partial agg
-  * collapses them to one row per map task; AQE skew-join handling is not
-  * needed for the agg itself. Violation listing is capped to avoid driver /
-  * sink blowups on pathological tables.
+  * A single `groupBy(url)` would shuffle every row's full key (tens of
+  * bytes × 10^12 rows). Instead:
+  *
+  *   phase 1: groupBy(xxhash64(keys)) with map-side partial counts — the
+  *            shuffle carries 8-byte hashes + counts; candidate hash
+  *            buckets are the ones with count > 1 (dup rate ~0.1% ⇒ the
+  *            candidate set is tiny relative to input);
+  *   phase 2: semi-join the input on candidate hashes (Catalyst/AQE picks
+  *            broadcast when the candidate set is small, shuffled-hash
+  *            otherwise) and run the EXACT groupBy(keys) on that subset —
+  *            hash collisions are filtered here, so the result is exact.
+  *
+  * Skewed hot keys are exactly the keys reported; partial aggregation
+  * collapses them to one row per map task, so no salting is needed for the
+  * count itself.
   */
 object Uniqueness {
 
-  /** Per-duplicate-key frame: keys, scope, dup count. */
+  private def keyHash(check: UniquenessCheck): Column =
+    xxhash64((check.scope ++ check.keys).map(col): _*)
+
+  /** Candidate hash buckets (count > 1) — phase 1. */
+  def candidateHashes(df: DataFrame, check: UniquenessCheck): DataFrame =
+    df.groupBy(keyHash(check).as("__kh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__kh")
+
+  /** Exact per-duplicate-key frame: keys, scope, dup count — phase 2. */
   def duplicateKeys(df: DataFrame, check: UniquenessCheck): DataFrame = {
     val groupCols = (check.scope ++ check.keys).distinct
-    df.groupBy(groupCols.map(col): _*)
+    val subset = df
+      .withColumn("__kh", keyHash(check))
+      .join(candidateHashes(df, check), Seq("__kh"), "left_semi")
+    subset.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
   }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.checks._
+import graft.operators._
+import graft.queries.QuerySpec.read
+import org.apache.spark.sql.functions._
+
+/** End-to-end check-operator queries (rows-only: p-values need distribution
+  * CDFs DuckDB lacks; the statistic arithmetic behind them is oracled by
+  * q17/q18/q23/q24/q25, and flags are golden-tested in ScalaTest).
+  */
+object OperatorQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // M9: Fisher's exact path of the categorical check (2×2 tables)
+    QuerySpec("q47_fisher_consistency",
+      (s, dir) => {
+        val docs = read(s, dir, "documents").filter(col("lang").isin("en", "de"))
+        CategoricalConsistency.tests(docs,
+          CategoricalConsistencyCheck("f", "lang", "source", test = "fisher"))
+          .select(col("grp"), round(col("stat"), 6).as("stat"),
+            round(col("p_raw"), 9).as("p_fisher"),
+            round(col("p_holm"), 9).as("p_holm"))
+          .orderBy("grp")
+      },
+      None),
+
+    // M1-M3 end-to-end: GLM outlier flags per group (univariatePlot parity
+    // shape on TPC-H data: price ~ quantity within returnflag)
+    QuerySpec("q48_regression_outlier",
+      (s, dir) => RegressionOutlier.verdicts(
+        read(s, dir, "lineitem"),
+        RegressionOutlierCheck("ro", "l_extendedprice", "l_orderkey",
+          contCovariates = Seq("l_quantity"), scope = Seq("l_returnflag"),
+          cutoffPct = 99.9, cookCutoff = Some(7.0)))
+        .select("partition", "metric", "stat", "n_obs", "pass")
+        .orderBy("partition"),
+      None),
+
+    // M5-M6 end-to-end: Brown-Forsythe group-vs-rest with Holm
+    QuerySpec("q49_group_variance",
+      (s, dir) => GroupVariance.tests(
+        read(s, dir, "lineitem").limit(20000),
+        GroupVarianceCheck("gv", "l_quantity", "l_returnflag"))
+        .select(col("cmp"), col("n"), round(col("stat"), 6).as("f_stat"),
+          round(col("p_holm"), 9).as("p_holm"))
+        .orderBy("cmp"),
+      None),
+
+    // M4 end-to-end: longitudinal within-subject outliers on the events
+    // stream table (user_id = subject)
+    QuerySpec("q50_longitudinal_outlier",
+      (s, dir) => LongitudinalOutlier.verdicts(
+        read(s, dir, "events"),
+        LongitudinalOutlierCheck("lo", "value", "user_id", cutoffPct = 99))
+        .select("partition", "metric", "stat", "n_obs", "pass"),
+      None),
+
+    // Multimodal plumbing: binary payload → deterministic feature stub →
+    // aggregate shape (schema + batching are the tested surface)
+    QuerySpec("q52_multimodal_decode",
+      (s, dir) => {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 100)
+          .withColumn("payload", to_binary(md5(col("text")), lit("hex")))
+        Multimodal.decodeStub(docs, "doc_id", "payload")
+          .select(col("key").cast("long").as("doc_id"),
+            size(col("features")).as("n_features"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 8 AS n_features FROM documents
+             WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // Exact-dup drop-list operator (keep-min-id policy)
+    QuerySpec("q53_dedup_droplist",
+      (s, dir) => {
+        val d = read(s, dir, "documents").filter(col("doc_id") < 200)
+          .select("doc_id", "text")
+        val dup = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        Dedup.exactDropList(d.unionByName(dup), "doc_id", "text")
+          .select("drop_id").orderBy("drop_id")
+      },
+      Some("""SELECT doc_id + 1000000 AS drop_id FROM documents
+             WHERE doc_id < 200 ORDER BY 1"""))
+  )
+}
