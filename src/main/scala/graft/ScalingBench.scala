@@ -43,6 +43,42 @@ object ScalingBench {
       } finally spark.stop()
     }
 
+    // compute-only mode: a shuffle-free row-level pass (minhash signatures
+    // + simhash + quality over generated pages) — isolates CPU scaling
+    // from the shared-disk shuffle the single-box sandbox cannot scale
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("compute")) {
+      def computeOnce(cpus: Int): Double = {
+        val spark = SparkSession.builder().master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        try {
+          import org.apache.spark.sql.functions._
+          val pages = Pages.generate(spark, nPages, numPartitions = cpus * 4)
+          val t0 = System.nanoTime()
+          pages.select(
+            graft.functions.TextFunctions.minhashSignature(col("text"), 3, 8).as("sig"),
+            graft.functions.SimHash64.ofText(col("text")).as("sim"),
+            graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.stop()
+      }
+      computeOnce(hi) // warmup
+      val cres = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
+      (1 to reps).foreach { rep =>
+        Seq(lo, hi).foreach { cpus =>
+          val sec = computeOnce(cpus)
+          cres(cpus) = sec :: cres(cpus)
+          println(f"[scaling] compute rep=$rep cores=$cpus%-3d pass=${sec}%7.2f s " +
+            f"(${nPages / sec}%9.0f docs/s)")
+        }
+      }
+      val eff = cres(lo).min / (4.0 * cres(hi).min)
+      println(f"""{"metric":"compute scaling efficiency","value":$eff%.3f,"unit":"ratio","pages":$nPages}""")
+      return
+    }
+
     // untimed small warmup: JIT + codegen caches, so rep 1 isn't penalized
     { val w = runOnce(hi, math.min(nPages, 1000000L))
       println(f"[scaling] warmup cores=$hi suite=${w}%7.2f s") }

@@ -32,17 +32,24 @@ object Runner {
 
   def run(df: DataFrame, suite: Suite): RunResult = {
     val spark = df.sparkSession
-    val shouldCache = suite.checks.size >= 3
+    // compile: schema validation + parameter defaulting (the reference's
+    // %dataExist/%variableExist/%argumentCheck semantics) — structural
+    // issues throw before any job runs
+    val (checks, warnings) = graft.compile.CheckCompiler.compile(
+      df, suite.checks, suite.refTables)
+    warnings.foreach(wn => System.err.println(
+      s"[graft] WARN check ${wn.checkId}: ${wn.kind} ${wn.detail}"))
+    val shouldCache = checks.size >= 3
     val input = if (shouldCache) df.cache() else df
 
-    val colStats = suite.checks.collect { case c: ColumnStatsCheck => c }
+    val colStats = checks.collect { case c: ColumnStatsCheck => c }
     val statsResults: Seq[DataFrame] = colStats.groupBy(_.scope).toSeq.map {
       case (_, cs) =>
         val profiled = ColumnStats.profile(input, cs)
         ColumnStats.verdicts(profiled, cs)
     }
 
-    val others: Seq[(DataFrame, DataFrame)] = suite.checks.collect {
+    val others: Seq[(DataFrame, DataFrame)] = checks.collect {
       case c: UniquenessCheck =>
         (Uniqueness.verdicts(input, c), Uniqueness.violations(input, c))
       case c: ReferentialCheck =>

@@ -41,6 +41,7 @@ object ByteIdentity {
       .agg(countDistinct(sha2(col(check.column).cast("binary"), 256)).as("n_digests"),
         count(lit(1)).as("n_rows"))
       .filter(col("n_digests") > 1)
+      .cache() // tiny (conflicting keys only); verdicts + violations share it
   }
 
   def verdicts(df: DataFrame, check: ByteIdentityCheck): DataFrame = {

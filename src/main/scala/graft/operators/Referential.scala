@@ -19,8 +19,12 @@ object Referential {
       broadcastDim: Boolean = true): DataFrame = {
     val dim0 = ref.select(col(check.refColumn).as("__ref")).where(col("__ref").isNotNull).distinct()
     val dim = if (broadcastDim) broadcast(dim0) else dim0
+    // cached: bounded by the orphan rate; verdict count + violation listing
+    // share the single anti-join pass (MEMORY_AND_DISK spills if a
+    // pathological table is mostly orphans)
     df.where(col(check.column).isNotNull)
       .join(dim, col(check.column) === col("__ref"), "left_anti")
+      .cache()
   }
 
   def verdicts(df: DataFrame, ref: DataFrame, check: ReferentialCheck,

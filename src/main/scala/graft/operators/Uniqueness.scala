@@ -43,6 +43,7 @@ object Uniqueness {
     subset.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+      .cache() // tiny (duplicate keys only); verdicts + violations share it
   }
 
   def verdicts(df: DataFrame, check: UniquenessCheck): DataFrame = {

@@ -1,0 +1,60 @@
+package graft.compile
+
+import graft.SparkSpec
+import graft.checks._
+
+/** Compile-time validation semantics (helperMacros parity):
+  * missing/misnamed/mistyped columns abort; out-of-domain parameters
+  * default with a warning (argumentCheck.sas goto-defaulting). */
+class CheckCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq((1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    .toDF("id", "grp", "v", "ts")
+
+  test("missing column aborts compilation (variableExist.sas:28)") {
+    val e = intercept[IllegalArgumentException] {
+      CheckCompiler.compile(df, Seq(ColumnStatsCheck("cs", "nope")))
+    }
+    assert(e.getMessage.contains("missing_column"))
+  }
+
+  test("type requirements: digit column must be numeric, date column temporal") {
+    val issues = CheckCompiler.validate(df.schema,
+      DigitPreferenceCheck("dp", "grp", groupCol = "id", dateCol = Some("v")))
+    assert(issues.exists(i => i.kind == "not_numeric" && i.detail == "grp"))
+    assert(issues.exists(i => i.kind == "not_temporal" && i.detail == "v"))
+  }
+
+  test("referential check requires the ref table and column") {
+    val e = intercept[IllegalArgumentException] {
+      CheckCompiler.compile(df, Seq(ReferentialCheck("r", "grp", "dims", "g")))
+    }
+    assert(e.getMessage.contains("missing_ref_table"))
+    val e2 = intercept[IllegalArgumentException] {
+      CheckCompiler.compile(df, Seq(ReferentialCheck("r", "grp", "dims", "nope")),
+        Map("dims" -> Seq("x").toDF("g")))
+    }
+    assert(e2.getMessage.contains("missing_ref_column"))
+  }
+
+  test("out-of-domain parameters default with warnings (argumentCheck.sas:9-27)") {
+    val (fixed, warnings) = CheckCompiler.compile(df, Seq(
+      CategoricalConsistencyCheck("cc", "grp", "id", interval = "fortnight",
+        alphaBar = 7.0, test = "anova"),
+      RegressionOutlierCheck("ro", "v", "id", cutoffPct = 400)))
+    val cc = fixed.collectFirst { case c: CategoricalConsistencyCheck => c }.get
+    assert(cc.interval == "quarter" && cc.alphaBar == 0.1 && cc.test == "chisq")
+    val ro = fixed.collectFirst { case c: RegressionOutlierCheck => c }.get
+    assert(ro.cutoffPct == 90)
+    assert(warnings.count(_.kind == "defaulted_param") == 4)
+  }
+
+  test("valid suite compiles unchanged with no warnings") {
+    val (fixed, warnings) = CheckCompiler.compile(df, Seq(
+      UniquenessCheck("u", Seq("id")),
+      DriftCheck("d", "v", "ts")))
+    assert(warnings.isEmpty)
+    assert(fixed.map(_.id) == Seq("u", "d"))
+  }
+}
