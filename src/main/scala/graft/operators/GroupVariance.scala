@@ -28,47 +28,47 @@ object GroupVariance {
     val base = df.filter(col(check.groupCol).isNotNull)
     val fits = OlsPass.fitPerGroup(base, check.outcome, d, check.scope)
     val withResid = OlsPass.rowStats(base, check.outcome, d, check.scope, fits)
+    // per-(scope, group) sufficient stats → variance components per scope,
+    // entirely distributed (round-1 fix: no group-proportional collect);
+    // whitening is column arithmetic over the broadcast-joined estimates.
     val subjStats = withResid
       .groupBy(col("__key"), col(check.groupCol).cast("string").as("__grp"))
       .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
-      .collect()
-    val est = subjStats.groupBy(_.getString(0)).map { case (k, rows) =>
-      k -> VarComp.fromResidualStats(rows.map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq)
-    }
-    val bcEst = df.sparkSession.sparkContext.broadcast(est)
-    val whitenUdf = udf((key: String, n: Long, r: Double, rsum: Double) => {
-      bcEst.value.get(key).map { e =>
-        val (a, b) = VarComp.whitenCoeffs(e, n)
-        a * r + b * rsum
-      }.getOrElse(Double.NaN)
-    })
+    val est = VarComp.estimates(subjStats)
     val wGrp = Window.partitionBy(col("__key"), col(check.groupCol))
     withResid
       .withColumn("__grp", col(check.groupCol).cast("string"))
       .withColumn("__n_grp", count(lit(1)).over(wGrp))
       .withColumn("__rsum", sum("resid").over(wGrp))
-      .withColumn("rscaled", whitenUdf(col("__key"), col("__n_grp"), col("resid"), col("__rsum")))
+      .join(broadcast(est), Seq("__key"), "left")
+      .withColumn("rscaled", VarComp.whitenExpr(col("__n_grp"), col("resid"), col("__rsum")))
+      .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
   }
+
+  /** Medians are `percentile_approx` at this accuracy: rank error ≤ n/acc —
+    * exact for the golden fixtures, sketch-mergeable (no sort) at 10^12 rows
+    * (SURVEY M6 allows approx medians at this grain). */
+  val MedianAccuracy = 50000
 
   /** Per-(scope, grp) Brown-Forsythe group-vs-rest results with Holm. */
   def tests(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
     val r = scaledResiduals(df, check).select(col("__key"), col("__grp"), col("rscaled"))
-    // groups per scope (driver-tiny, like the reference's distinct-into list
-    // groupComparisons.sas:243-248)
-    val groups = r.select(col("__key"), col("__grp")).distinct().collect()
-      .groupBy(_.getString(0)).map { case (k, rows) => k -> rows.map(_.getString(1)).sorted.toSeq }
-    val bcGroups = r.sparkSession.sparkContext.broadcast(groups)
+    // comparison domain: distinct (scope, group), kept distributed and
+    // broadcast-joined (round-1 fix: no driver collect; the reference's
+    // distinct-into list, groupComparisons.sas:243-248, is a driver array).
+    // Scopes with a single group have no "rest" → dropped here
+    // (groupComparisons.sas:264).
+    val cmpDom = r.select(col("__key"), col("__grp").as("cmp")).distinct()
+    val kPerKey = cmpDom.groupBy("__key").agg(count(lit(1)).as("__kgrp"))
+    val dom = cmpDom.join(kPerKey, "__key").filter(col("__kgrp") >= 2).drop("__kgrp")
     // one-vs-rest expansion: each row contributes to every comparison,
-    // side=1 when it belongs to the compared group (A10 fused)
-    val cmpUdf = udf((key: String) => bcGroups.value.getOrElse(key, Seq.empty[String]))
-    val exploded = r
-      .withColumn("cmp", explode(cmpUdf(col("__key"))))
+    // side=1 when it belongs to the compared group (A10 fused). The
+    // broadcast join IS the explode — k rows out per input row.
+    val exploded = r.join(broadcast(dom), Seq("__key"))
       .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
-    // skip scopes with a single group — no "rest" (groupComparisons.sas:264)
-    val multi = exploded.filter(size(cmpUdf(col("__key"))) >= 2)
-    val medians = multi.groupBy("__key", "cmp", "side")
-      .agg(expr("percentile(rscaled, 0.5)").as("med"))
-    val withZ = multi.join(broadcast(medians), Seq("__key", "cmp", "side"))
+    val medians = exploded.groupBy("__key", "cmp", "side")
+      .agg(percentile_approx(col("rscaled"), lit(0.5), lit(MedianAccuracy)).as("med"))
+    val withZ = exploded.join(broadcast(medians), Seq("__key", "cmp", "side"))
       .withColumn("z", abs(col("rscaled") - col("med")))
     val sideStats = withZ.groupBy("__key", "cmp", "side")
       .agg(count(lit(1)).as("n_s"), sum("z").as("sz"), sum(col("z") * col("z")).as("szz"))

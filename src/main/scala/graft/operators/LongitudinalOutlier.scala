@@ -20,38 +20,35 @@ import org.apache.spark.sql.functions._
 object LongitudinalOutlier {
 
   def flagged(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val d = OlsPass.design(df, check.contCovariates, check.discCovariates)
     val fits = OlsPass.fitPerGroup(df, check.outcome, d, check.scope)
     val withResid = OlsPass.rowStats(df, check.outcome, d, check.scope, fits)
-    // per-(scope, subject) sufficient stats → variance components per scope
+    // per-(scope, subject) sufficient stats → variance components per scope,
+    // all distributed: the second aggregation collapses 10^8+ subjects into
+    // one row per scope BEFORE anything leaves the executors (round-1 fix:
+    // no subject-proportional collect).
     val subjStats = withResid.groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
       .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
-      .collect()
-    val est = subjStats.groupBy(_.getString(0)).map { case (k, rows) =>
-      k -> VarComp.fromResidualStats(rows.map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq)
-    }
-    val cutoffs = fits.map { case (k, f) =>
-      // SAS low-df workaround mirrored exactly (longitudinalPlot.sas:453-456)
+    val est = VarComp.estimates(subjStats)
+    // per-scope t cutoff with the SAS low-df workaround mirrored exactly
+    // (longitudinalPlot.sas:453-456); fits is already driver-side and
+    // MaxGroups-guarded, so this frame is one tiny row per scope.
+    val cutoffs = fits.toSeq.map { case (k, f) =>
       k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
-    }
-    val spark = df.sparkSession
-    val bcEst = spark.sparkContext.broadcast(est)
-    val bcCut = spark.sparkContext.broadcast(cutoffs)
-    val whitenUdf = udf((key: String, n: Long, r: Double, rsum: Double) => {
-      bcEst.value.get(key).map { e =>
-        val (a, b) = VarComp.whitenCoeffs(e, n)
-        a * r + b * rsum
-      }.getOrElse(Double.NaN)
-    })
-    val cutUdf = udf((key: String) => bcCut.value.getOrElse(key, Double.NaN))
+    }.toDF("__key", "cutoff")
     val wSubj = Window.partitionBy(col("__key"), col(check.idCol))
     withResid
       .withColumn("__n_subj", count(lit(1)).over(wSubj))
       .withColumn("__rsum", sum("resid").over(wSubj))
-      .withColumn("rscaled", whitenUdf(col("__key"), col("__n_subj"), col("resid"), col("__rsum")))
-      .withColumn("cutoff", cutUdf(col("__key")))
+      .join(broadcast(est), Seq("__key"), "left")
+      .join(broadcast(cutoffs), Seq("__key"), "left")
+      .withColumn("rscaled", VarComp.whitenExpr(col("__n_subj"), col("resid"), col("__rsum")))
+      .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
       .withColumn("flag_outlier",
         coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
+      .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
   }
 
   def verdicts(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {

@@ -41,7 +41,7 @@ object OperatorQueries {
     // M5-M6 end-to-end: Brown-Forsythe group-vs-rest with Holm
     QuerySpec("q49_group_variance",
       (s, dir) => GroupVariance.tests(
-        read(s, dir, "lineitem").limit(20000),
+        read(s, dir, "lineitem"),
         GroupVarianceCheck("gv", "l_quantity", "l_returnflag"))
         .select(col("cmp"), col("n"), round(col("stat"), 6).as("f_stat"),
           round(col("p_holm"), 9).as("p_holm"))
