@@ -72,6 +72,8 @@ final case class CategoricalConsistencyCheck(
     test: String = "chisq",       // chisq|fisher (fisher exact for 2x2, else chisq)
     alphaBar: Double = 0.1,
     minNum: Long = 0,
+    pairwise: Boolean = false,    // also emit the i<j pairwise grid verdicts
+                                  // (the reference's heat map, :368-419)
     severity: String = "warn") extends Check
 
 /** Terminal-digit-preference check — re-expression of %digitpref

@@ -49,9 +49,27 @@ object Runner {
         ColumnStats.verdicts(profiled, cs)
     }
 
+    // Fuse uniqueness + byte-identity phase 1 when they audit the same key:
+    // both first phases are a full-table groupBy(xxhash64(key)); KeyScan
+    // runs it ONCE and both checks' phase 2 consume the shared candidates.
+    val byteChecks = checks.collect { case c: ByteIdentityCheck => c }
+    val fused: Map[String, (UniquenessCheck, ByteIdentityCheck, DataFrame)] =
+      checks.collect {
+        case u: UniquenessCheck =>
+          byteChecks.collectFirst {
+            case b if b.scope.isEmpty && (u.scope ++ u.keys).distinct == Seq(b.keyCol) =>
+              (u.id, (u, b, KeyScan.phase1(input, Seq(b.keyCol), b.column)))
+          }
+      }.flatten.toMap
+    def uniqCand(c: UniquenessCheck): Option[DataFrame] =
+      fused.get(c.id).map { case (_, _, p1) => KeyScan.uniqueCandidates(p1) }
+    def byteCand(c: ByteIdentityCheck): Option[DataFrame] =
+      fused.values.collectFirst { case (_, b, p1) if b.id == c.id => KeyScan.byteCandidates(p1) }
+
     val others: Seq[(DataFrame, DataFrame)] = checks.collect {
       case c: UniquenessCheck =>
-        (Uniqueness.verdicts(input, c), Uniqueness.violations(input, c))
+        (Uniqueness.verdicts(input, c, uniqCand(c)),
+          Uniqueness.violations(input, c, candidates = uniqCand(c)))
       case c: ReferentialCheck =>
         val ref = suite.refTables.getOrElse(c.refTable,
           throw new IllegalArgumentException(s"missing refTable ${c.refTable}"))
@@ -69,7 +87,8 @@ object Runner {
       case c: DriftCheck =>
         (Drift.verdicts(input, c), Drift.violations(input, c))
       case c: ByteIdentityCheck =>
-        (ByteIdentity.verdicts(input, c), ByteIdentity.violations(input, c))
+        (ByteIdentity.verdicts(input, c, byteCand(c)),
+          ByteIdentity.violations(input, c, candidates = byteCand(c)))
     }
 
     val verdicts = (statsResults ++ others.map(_._1))
@@ -108,10 +127,14 @@ object Runner {
         processed += 1
       }
     }
+    // read back ONLY units committed under THIS suite hash AND present in
+    // the current input — a resume after the suite or input changed must
+    // not union stale incompatible state (round-1 ADVICE fix)
+    val valid = TableIO.completedUnits(stateRoot, hash).intersect(units.toSet)
     RunResult(
-      TableIO.readUnitData(spark, stateRoot, "verdicts")
+      TableIO.readUnitData(spark, stateRoot, "verdicts", Some(valid))
         .getOrElse(Results.emptyVerdicts(spark)).drop("unit"),
-      TableIO.readUnitData(spark, stateRoot, "violations")
+      TableIO.readUnitData(spark, stateRoot, "violations", Some(valid))
         .getOrElse(Results.emptyViolations(spark)).drop("unit"))
   }
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object ByteIdentity {
 
-  private def digest64(c: org.apache.spark.sql.Column) =
+  private[operators] def digest64(c: org.apache.spark.sql.Column) =
     xxhash64(sha2(c.cast("binary"), 256))
 
   /** Candidate keys (phase 1): key-hash buckets whose payload digests are
@@ -32,11 +32,13 @@ object ByteIdentity {
       .filter(col("__a") =!= col("__b"))
       .select("__kh")
 
-  /** Exact conflicts (phase 2): keys whose payload bytes diverge. */
-  def conflicts(df: DataFrame, check: ByteIdentityCheck): DataFrame = {
+  /** Exact conflicts (phase 2): keys whose payload bytes diverge.
+    * @param candidates pre-computed phase-1 buckets (fused KeyScan). */
+  def conflicts(df: DataFrame, check: ByteIdentityCheck,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val subset = df
       .withColumn("__kh", xxhash64(col(check.keyCol)))
-      .join(candidateHashes(df, check), Seq("__kh"), "left_semi")
+      .join(candidates.getOrElse(candidateHashes(df, check)), Seq("__kh"), "left_semi")
     subset.groupBy(col(check.keyCol))
       .agg(countDistinct(sha2(col(check.column).cast("binary"), 256)).as("n_digests"),
         count(lit(1)).as("n_rows"))
@@ -44,8 +46,9 @@ object ByteIdentity {
       .cache() // tiny (conflicting keys only); verdicts + violations share it
   }
 
-  def verdicts(df: DataFrame, check: ByteIdentityCheck): DataFrame = {
-    val framed = conflicts(df, check).groupBy().agg(
+  def verdicts(df: DataFrame, check: ByteIdentityCheck,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val framed = conflicts(df, check, candidates).groupBy().agg(
       coalesce(count(lit(1)), lit(0L)).as("bad_keys")).select(
       lit("").as("partition"),
       lit("keys_with_divergent_bytes").as("metric"),
@@ -56,8 +59,9 @@ object ByteIdentity {
     Results.toVerdicts(framed, check.id, check.severity)
   }
 
-  def violations(df: DataFrame, check: ByteIdentityCheck, limit: Int = 10000): DataFrame = {
-    val v = conflicts(df, check).limit(limit).select(
+  def violations(df: DataFrame, check: ByteIdentityCheck, limit: Int = 10000,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val v = conflicts(df, check, candidates).limit(limit).select(
       col(check.keyCol).cast("string").as("key"),
       lit("").as("partition"),
       col("n_digests").cast("string").as("observed"),

@@ -106,9 +106,118 @@ object CategoricalConsistency {
         Distributions.fisherExact2x2(a, b, cc, d)
       } else Distributions.chiSqPValue(stat, dfree)
     })
-    val withP = perGrp.withColumn("p_raw", pUdf(col("stat"), col("df"), col("cells2")))
+    // which test actually produced the p-value: when fisher is requested
+    // but the table isn't 2×2, the reference's FISHER option would run the
+    // r×c network algorithm — we fall back to chi-square per SURVEY §7.6.2
+    // and FLAG it so the verdict row is honest about the substitution.
+    val testUsed =
+      if (!useFisher) lit("chisq")
+      else when(size(col("cells2")) === 2, lit("fisher")).otherwise(lit("chisq_fallback"))
+    val withP = perGrp
+      .withColumn("test_used", testUsed)
+      .withColumn("p_raw", pUdf(col("stat"), col("df"), col("cells2")))
       .drop("cells2")
     holmWithinPanel(withP, keyCols)
+  }
+
+  /** Pairwise (i<j) group-vs-group tests — the reference's heat-map grid
+    * (Categorical_Check.sas:368-419): one chi-square/Fisher per group pair
+    * per panel over the values × {gᵢ, gⱼ} table, untestable/missing pairs
+    * fall back to p=1 (:402-416), Holm within panel across all pairs.
+    *
+    * The reference runs O(k²) PROC FREQ re-scans; here the whole grid is a
+    * self-join of the cached counts frame (panels × C(k,2) × categories
+    * rows — thousands at any input scale) plus one shell join for the
+    * missing pairs, so input rows are scanned ONCE regardless of k.
+    *
+    * Deviations documented: (a) df counts categories with a nonzero pair
+    * row total (SAS /zeros keeps all-zero rows in the printed table; they
+    * contribute no information); (b) Holm is applied over the pairwise
+    * family per panel — the reference pools the one-vs-rest and pairwise
+    * p-values into ONE multtest family per panel (:435-466); keep families
+    * separate so each surface is independently consumable.
+    */
+  def pairwiseTests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+    val keyCols = check.scope :+ "panel"
+    val c = cells(df, check)
+      .filter(col("grp_total") > check.minNum)
+      .select((keyCols.map(col) :+ col("grp") :+ col("value") :+
+        col("cnt") :+ col("grp_total")): _*)
+    val a = c.select((keyCols.map(col) :+ col("grp").as("grp1") :+ col("value") :+
+      col("cnt").as("c1") :+ col("grp_total").as("n1")): _*)
+    val b = c.select((keyCols.map(col) :+ col("grp").as("grp2") :+ col("value") :+
+      col("cnt").as("c2") :+ col("grp_total").as("n2")): _*)
+    val withE = a.join(b, keyCols :+ "value")
+      .filter(col("grp1") < col("grp2"))
+      .withColumn("rv", (col("c1") + col("c2")).cast("double"))
+      .withColumn("n", (col("n1") + col("n2")).cast("double"))
+      .withColumn("e1", col("n1") * col("rv") / col("n"))
+      .withColumn("e2", col("n2") * col("rv") / col("n"))
+      .withColumn("x2_term",
+        when(col("e1") > 0, pow(col("c1") - col("e1"), 2) / col("e1")).otherwise(0.0) +
+        when(col("e2") > 0, pow(col("c2") - col("e2"), 2) / col("e2")).otherwise(0.0))
+    val perPair = withE
+      .groupBy((keyCols :+ "grp1" :+ "grp2").map(col): _*)
+      .agg(
+        sum("x2_term").as("stat"),
+        (countDistinct(when(col("rv") > 0, col("value"))) - 1).cast("double").as("df"),
+        first("n1").as("n1"),
+        first("n2").as("n2"),
+        sort_array(collect_list(when(col("rv") > 0,
+          struct(col("value"), col("c1").cast("double"), col("c2").cast("double"))))).as("cells2"))
+    // missing-pair shell: the reference emits p=1 rows for pairs PROC FREQ
+    // could not test (:402-416) — here any (panel, pair) where one group is
+    // absent (or the table is degenerate, df < 1)
+    val grpDomGlobal = c.select(col("grp")).distinct()
+    val pairDom = grpDomGlobal.select(col("grp").as("grp1"))
+      .crossJoin(grpDomGlobal.select(col("grp").as("grp2")))
+      .filter(col("grp1") < col("grp2"))
+    val panelDom = c.select(keyCols.map(col): _*).distinct()
+    val shell = panelDom.crossJoin(pairDom)
+    val full = shell.join(perPair, keyCols :+ "grp1" :+ "grp2", "left")
+      .withColumn("n1", coalesce(col("n1"), lit(0L)))
+      .withColumn("n2", coalesce(col("n2"), lit(0L)))
+    val useFisher = check.test.equalsIgnoreCase("fisher")
+    val pUdf = udf((dfree: java.lang.Double, stat: java.lang.Double,
+        cells2: Seq[org.apache.spark.sql.Row]) => {
+      if (dfree == null || dfree < 1) 1.0 // missing/untestable pair
+      else if (useFisher && cells2.size == 2) {
+        val aa = cells2.head.getDouble(1).round
+        val bb = cells2.head.getDouble(2).round
+        val cc = cells2(1).getDouble(1).round
+        val dd = cells2(1).getDouble(2).round
+        Distributions.fisherExact2x2(aa, cc, bb, dd)
+      } else Distributions.chiSqPValue(stat, dfree)
+    })
+    val testUsed =
+      when(col("df").isNull || col("df") < 1, lit("missing_pair"))
+        .otherwise(
+          if (!useFisher) lit("chisq")
+          else when(size(col("cells2")) === 2, lit("fisher")).otherwise(lit("chisq_fallback")))
+    val withP = full
+      .withColumn("test_used", testUsed)
+      .withColumn("p_raw", pUdf(col("df"), col("stat"), col("cells2")))
+      .drop("cells2")
+    // Holm family = all pairs within the panel, fallback p=1 rows included
+    // (the reference's multtest input includes them, :435-448)
+    holmWithinPanel(withP, keyCols)
+  }
+
+  /** The reference's `_All_` overall bar (Categorical_Check.sas:317-340):
+    * per panel, the all-groups-combined distribution of `valueCol` with
+    * row percents. Rides the cached counts frame — no extra input scan. */
+  def overallBar(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+    val keyCols = check.scope :+ "panel"
+    cells(df, check)
+      .select((keyCols.map(col) :+ col("value") :+
+        col("panel_value_total") :+ col("panel_total")): _*)
+      .distinct() // cells grain is (…, grp, value); totals repeat per grp
+      .select((keyCols.map(col) :+
+        lit("_All_").as("grp") :+
+        col("value") :+
+        col("panel_value_total").as("cnt") :+
+        (col("panel_value_total") * 100.0 / col("panel_total")).as("row_pct") :+
+        col("panel_total")): _*)
   }
 
   /** Holm step-down within each panel (M10). Group count per panel is tiny,
@@ -127,20 +236,49 @@ object CategoricalConsistency {
   }
 
   def verdicts(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
-    val keyCols = check.scope :+ "panel"
     val t = tests(df, check)
     val framed = t.select(
       concat_ws("/",
         (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
           Seq(concat(lit("panel="), col("panel")),
             concat(lit("grp="), col("grp").cast("string")))): _*).as("partition"),
-      lit("chisq_one_vs_rest").as("metric"),
+      concat(col("test_used"), lit("_one_vs_rest")).as("metric"),
       col("stat"),
       col("p_holm").as("p_value"),
       lit(check.alphaBar).as("threshold"),
       col("n_grp").cast("long").as("n_obs"),
       (col("p_holm") >= check.alphaBar).as("pass"))
-    Results.toVerdicts(framed, check.id, check.severity)
+    // the reference's `_All_` overall bar (:317-340): one informational
+    // verdict row per panel carrying the all-groups-combined n
+    val overall = overallBar(df, check)
+      .groupBy((check.scope :+ "panel").map(col): _*)
+      .agg(first("panel_total").as("n_panel"))
+      .select(
+        concat_ws("/",
+          (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
+            Seq(concat(lit("panel="), col("panel")), lit("grp=_All_"))): _*).as("partition"),
+        lit("overall_bar").as("metric"),
+        lit(null).cast("double").as("stat"),
+        lit(null).cast("double").as("p_value"),
+        lit(check.alphaBar).as("threshold"),
+        col("n_panel").cast("long").as("n_obs"),
+        lit(true).as("pass"))
+    val pair = if (!check.pairwise) None else Some {
+      pairwiseTests(df, check).select(
+        concat_ws("/",
+          (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
+            Seq(concat(lit("panel="), col("panel")),
+              concat(lit("pair="), col("grp1").cast("string"),
+                lit("|"), col("grp2").cast("string")))): _*).as("partition"),
+        concat(col("test_used"), lit("_pairwise")).as("metric"),
+        col("stat"),
+        col("p_holm").as("p_value"),
+        lit(check.alphaBar).as("threshold"),
+        (col("n1") + col("n2")).cast("long").as("n_obs"),
+        (col("p_holm") >= check.alphaBar).as("pass"))
+    }
+    val all = (Seq(framed, overall) ++ pair.toSeq).reduce(_ unionByName _)
+    Results.toVerdicts(all, check.id, check.severity)
   }
 
   /** Violation rows: for every failing (panel, grp), its worst-deviating

@@ -29,11 +29,20 @@ object Drift {
     val width = if (mx > mn) (mx - mn) / check.bins else 1.0
     val binCol = least(greatest(floor((v - mn) / width), lit(0.0)), lit((check.bins - 1).toDouble)).cast("int")
     val keyCols = check.scope :+ "panel"
-    base0
+    val counts = base0
       .withColumn("panel", PanelBins.panel(col(check.dateCol), check.interval))
       .withColumn("bin", binCol)
       .groupBy((keyCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+    // zero-fill over the full bin domain per (scope, panel) — like the
+    // categorical shell join (J6): a bin empty in one window but populated
+    // in the rest must contribute its (0−e)²/e term, its mass to the KS
+    // cumulatives, and its slot to df; without the fill, strong-drift
+    // windows UNDER-flag (round-1 ADVICE fix)
+    val panelDom = counts.select(keyCols.map(col): _*).distinct()
+      .withColumn("bin", explode(lit((0 until check.bins).toArray)))
+    panelDom.join(counts, keyCols :+ "bin", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .cache() // windows × bins rows; tests + violations reuse one pass
   }
 

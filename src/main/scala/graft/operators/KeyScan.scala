@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fused phase-1 key scan shared by Uniqueness and ByteIdentity.
+  *
+  * Both checks' first phase is a full-table `groupBy(xxhash64(key))` —
+  * uniqueness needs per-bucket counts, byte-identity needs min/max payload
+  * digests. Run separately that is two full scans + two shuffles of the
+  * same 8-byte key hashes; fused it is ONE pass emitting both:
+  *
+  *   groupBy(xxhash64(key)).agg(count, min(digest64), max(digest64))
+  *
+  * A bucket with n == 1 necessarily has min == max digest, so the single
+  * `count > 1` filter retains every candidate either check needs; the
+  * byte-identity candidates are the subset with diverging digests. Each
+  * check's phase 2 stays exact (full-key groupBy / full sha2-256), so the
+  * fusion changes cost, not semantics.
+  */
+object KeyScan {
+
+  /** One-pass candidate frame: (__kh, __n, __a, __b) for buckets with >1
+    * row. Cached — verdicts + violations of both checks reuse it. */
+  def phase1(df: DataFrame, keyCols: Seq[String], payloadCol: String): DataFrame =
+    df.groupBy(xxhash64(keyCols.map(col): _*).as("__kh"))
+      .agg(count(lit(1)).as("__n"),
+        min(ByteIdentity.digest64(col(payloadCol))).as("__a"),
+        max(ByteIdentity.digest64(col(payloadCol))).as("__b"))
+      .filter(col("__n") > 1)
+      .cache()
+
+  /** Uniqueness phase-2 input: every bucket with more than one row. */
+  def uniqueCandidates(phase1: DataFrame): DataFrame = phase1.select("__kh")
+
+  /** Byte-identity phase-2 input: buckets whose payload digests diverge. */
+  def byteCandidates(phase1: DataFrame): DataFrame =
+    phase1.filter(col("__a") =!= col("__b")).select("__kh")
+}

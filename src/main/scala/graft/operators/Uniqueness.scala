@@ -34,20 +34,24 @@ object Uniqueness {
       .filter(col("__n") > 1)
       .select("__kh")
 
-  /** Exact per-duplicate-key frame: keys, scope, dup count — phase 2. */
-  def duplicateKeys(df: DataFrame, check: UniquenessCheck): DataFrame = {
+  /** Exact per-duplicate-key frame: keys, scope, dup count — phase 2.
+    * @param candidates pre-computed phase-1 hash buckets (e.g. the fused
+    *                   KeyScan); defaults to this check's own phase 1. */
+  def duplicateKeys(df: DataFrame, check: UniquenessCheck,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val groupCols = (check.scope ++ check.keys).distinct
     val subset = df
       .withColumn("__kh", keyHash(check))
-      .join(candidateHashes(df, check), Seq("__kh"), "left_semi")
+      .join(candidates.getOrElse(candidateHashes(df, check)), Seq("__kh"), "left_semi")
     subset.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
       .cache() // tiny (duplicate keys only); verdicts + violations share it
   }
 
-  def verdicts(df: DataFrame, check: UniquenessCheck): DataFrame = {
-    val dups = duplicateKeys(df, check)
+  def verdicts(df: DataFrame, check: UniquenessCheck,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val dups = duplicateKeys(df, check, candidates)
     val scoped =
       if (check.scope.isEmpty) dups.groupBy()
       else dups.groupBy(check.scope.map(col): _*)
@@ -66,8 +70,9 @@ object Uniqueness {
     Results.toVerdicts(framed, check.id, check.severity)
   }
 
-  def violations(df: DataFrame, check: UniquenessCheck, limit: Int = 10000): DataFrame = {
-    val v = duplicateKeys(df, check).limit(limit).select(
+  def violations(df: DataFrame, check: UniquenessCheck, limit: Int = 10000,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val v = duplicateKeys(df, check, candidates).limit(limit).select(
       concat_ws("|", check.keys.map(c => col(c).cast("string")): _*).as("key"),
       Results.partitionString(check.scope).as("partition"),
       col("dup_count").cast("string").as("observed"),

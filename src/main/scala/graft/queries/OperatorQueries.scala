@@ -71,6 +71,55 @@ object OperatorQueries {
       Some("""SELECT doc_id, 8 AS n_features FROM documents
              WHERE doc_id < 100 ORDER BY doc_id""")),
 
+    // A10 pairwise grid: i<j chi-square statistic arithmetic per source
+    // pair (Categorical_Check.sas:368-419 fused as one cells self-join)
+    QuerySpec("q54_pairwise_chisq",
+      (s, dir) => CategoricalConsistency.pairwiseTests(
+        read(s, dir, "documents"),
+        CategoricalConsistencyCheck("pc", "lang", "source"))
+        .select(col("grp1").cast("string").as("grp1"),
+          col("grp2").cast("string").as("grp2"),
+          round(col("stat"), 6).as("stat"),
+          col("df").cast("long").as("df"),
+          col("n1"), col("n2"))
+        .orderBy("grp1", "grp2"),
+      Some("""WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+               dom AS (SELECT s.source, l.lang
+                 FROM (SELECT DISTINCT source FROM c) s
+                 CROSS JOIN (SELECT DISTINCT lang FROM c) l),
+               f AS (SELECT dom.source, dom.lang, COALESCE(c.cnt, 0) AS cnt
+                 FROM dom LEFT JOIN c ON c.source = dom.source AND c.lang = dom.lang),
+               tot AS (SELECT source, sum(cnt) AS n FROM f GROUP BY 1),
+               p AS (SELECT a.source AS grp1, b.source AS grp2, a.lang,
+                   CAST(a.cnt AS DOUBLE) AS c1, CAST(b.cnt AS DOUBLE) AS c2,
+                   ta.n AS n1, tb.n AS n2
+                 FROM f a JOIN f b ON a.lang = b.lang AND a.source < b.source
+                 JOIN tot ta ON ta.source = a.source
+                 JOIN tot tb ON tb.source = b.source)
+             SELECT grp1, grp2,
+               round(sum(
+                 CASE WHEN n1 * (c1 + c2) > 0 THEN
+                   pow(c1 - n1 * (c1 + c2) / (n1 + n2), 2) / (n1 * (c1 + c2) / (n1 + n2))
+                 ELSE 0 END +
+                 CASE WHEN n2 * (c1 + c2) > 0 THEN
+                   pow(c2 - n2 * (c1 + c2) / (n1 + n2), 2) / (n2 * (c1 + c2) / (n1 + n2))
+                 ELSE 0 END), 6) AS stat,
+               CAST(count(DISTINCT CASE WHEN c1 + c2 > 0 THEN lang END) - 1 AS BIGINT) AS df,
+               CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+             FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The `_All_` overall bar per panel (Categorical_Check.sas:317-340)
+    QuerySpec("q55_overall_bar",
+      (s, dir) => CategoricalConsistency.overallBar(
+        read(s, dir, "documents"),
+        CategoricalConsistencyCheck("ob", "lang", "source"))
+        .select(col("value").as("lang"), col("cnt"),
+          round(col("row_pct"), 6).as("row_pct"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS cnt,
+               round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS row_pct
+             FROM documents GROUP BY 1 ORDER BY 1""")),
+
     // Exact-dup drop-list operator (keep-min-id policy)
     QuerySpec("q53_dedup_droplist",
       (s, dir) => {

@@ -79,12 +79,25 @@ object StatQueries {
              LEFT JOIN c ON c.event_type = t.event_type AND c.user_id = u.user_id
              ORDER BY 1, 2""")),
 
-    // O5: dense group numbering (univariatePlot.sas:360-363)
+    // O5: dense group numbering (univariatePlot.sas:360-363). A global
+    // dense_rank window would funnel every row through ONE partition; the
+    // scalable shape ranks only the DISTINCT key frame (tiny — group labels)
+    // and broadcast-joins the index back. The rank itself is computed
+    // without any window: dense_rank(v) = #distinct keys <= v, an
+    // inequality self-join on the d-row distinct frame (O(d²) pairs on KB
+    // of data, fully parallel, no single-partition exchange).
     QuerySpec("q14_dense_rank",
-      (s, dir) => read(s, dir, "supplier")
-        .withColumn("nation_grp", dense_rank().over(Window.orderBy("s_nationkey")))
-        .select("s_suppkey", "s_nationkey", "nation_grp")
-        .orderBy("s_suppkey"),
+      (s, dir) => {
+        val sup = read(s, dir, "supplier")
+        val keys = sup.select("s_nationkey").distinct()
+        val ranks = keys.join(keys.select(col("s_nationkey").as("__k2")),
+            col("__k2") <= col("s_nationkey"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).cast("long").as("nation_grp"))
+        sup.join(broadcast(ranks), "s_nationkey")
+          .select("s_suppkey", "s_nationkey", "nation_grp")
+          .orderBy("s_suppkey")
+      },
       Some("""SELECT s_suppkey, s_nationkey,
                dense_rank() OVER (ORDER BY s_nationkey) AS nation_grp
              FROM supplier ORDER BY 1""")),
@@ -276,23 +289,30 @@ object StatQueries {
     // univariatePlot.sas:309-324 semantics on a simple design)
     QuerySpec("q23_ols_rstudent",
       (s, dir) => {
+        // OlsPass-shaped plan (SURVEY M1): partial-aggregated sufficient
+        // stats per group (one shuffle of 6 doubles per group), broadcast
+        // back for the row-level residual pass — no Window.partitionBy(g)
+        // funneling each group through one partition.
         val li = read(s, dir, "lineitem")
           .select(col("l_returnflag").as("g"),
             col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-        val w = Window.partitionBy("g")
-        val stats = li
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("xbar", avg("x").over(w))
-          .withColumn("ybar", avg("y").over(w))
-          .withColumn("sxx", sum(pow(col("x"), 2)).over(w) - col("n") * pow(col("xbar"), 2))
-          .withColumn("sxy", sum(col("x") * col("y")).over(w) - col("n") * col("xbar") * col("ybar"))
-          .withColumn("syy", sum(pow(col("y"), 2)).over(w) - col("n") * pow(col("ybar"), 2))
+        val suff = li.groupBy("g").agg(
+          count(lit(1)).as("n"),
+          avg("x").as("xbar"), avg("y").as("ybar"),
+          sum(pow(col("x"), 2)).as("sx2"),
+          sum(col("x") * col("y")).as("sxy0"),
+          sum(pow(col("y"), 2)).as("sy2"))
+          .withColumn("sxx", col("sx2") - col("n") * pow(col("xbar"), 2))
+          .withColumn("sxy", col("sxy0") - col("n") * col("xbar") * col("ybar"))
+          .withColumn("syy", col("sy2") - col("n") * pow(col("ybar"), 2))
           .withColumn("beta", col("sxy") / col("sxx"))
-          .withColumn("e", col("y") - col("ybar") - col("beta") * (col("x") - col("xbar")))
-          .withColumn("h", lit(1.0) / col("n") + pow(col("x") - col("xbar"), 2) / col("sxx"))
           .withColumn("sse", col("syy") - col("beta") * col("sxy"))
           .withColumn("dfe", col("n") - 2)
           .withColumn("s2", col("sse") / col("dfe"))
+          .select("g", "n", "xbar", "ybar", "sxx", "beta", "dfe", "s2")
+        val stats = li.join(broadcast(suff), "g")
+          .withColumn("e", col("y") - col("ybar") - col("beta") * (col("x") - col("xbar")))
+          .withColumn("h", lit(1.0) / col("n") + pow(col("x") - col("xbar"), 2) / col("sxx"))
           .withColumn("s2i", (col("dfe") * col("s2") - pow(col("e"), 2) / (lit(1.0) - col("h"))) / (col("dfe") - 1))
           .withColumn("rstudent", col("e") / sqrt(col("s2i") * (lit(1.0) - col("h"))))
         stats.groupBy("g")

@@ -69,12 +69,23 @@ object TableIO {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  def readUnitData(spark: SparkSession, root: String, name: String): Option[DataFrame] = {
+  /** Read back per-unit result data. When `onlyUnits` is given, reads ONLY
+    * those unit directories (unsanitized unit values) — the resume path
+    * passes the manifest-validated set so orphan data dirs from crashed or
+    * incompatible (different checkHash) runs are never unioned in. */
+  def readUnitData(spark: SparkSession, root: String, name: String,
+      onlyUnits: Option[Set[String]] = None): Option[DataFrame] = {
     val dir = Paths.get(s"$root/data/$name")
     if (!Files.exists(dir)) None
     else {
-      val units = Files.list(dir).iterator().asScala
+      val present = Files.list(dir).iterator().asScala
         .filter(p => Files.isDirectory(p)).map(_.toString).toSeq
+      val units = onlyUnits match {
+        case None => present
+        case Some(want) =>
+          val wanted = want.map(u => s"unit=${sanitize(u)}")
+          present.filter(p => wanted.contains(Paths.get(p).getFileName.toString))
+      }
       if (units.isEmpty) None
       else Some(units.map(spark.read.parquet(_)).reduce(_ unionByName _))
     }

@@ -75,6 +75,35 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0, p.take(500))
   }
 
+  test("q14 dense numbering has no row-level window or single-partition exchange") {
+    val df = SparkEntry.queries("q14_dense_rank")(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(!p.contains("Window"), "rank must ride the distinct-key frame, not a window")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "rank index must broadcast-join back")
+    assert(!p.contains("SinglePartition"), p.take(900))
+  }
+
+  test("q23 OLS rides agg+broadcast, not Window.partitionBy(g)") {
+    val p = plan(SparkEntry.queries("q23_ols_rstudent")(spark, sf("sf0.001")))
+    assert(!p.contains("Window"), "sufficient stats must be a groupBy agg")
+    assert(p.contains("BroadcastHashJoin"), "fit row must broadcast back")
+  }
+
+  test("longitudinal varcomp path: per-scope estimates stay distributed (no subject collect)") {
+    import spark.implicits._
+    val rows = (1 to 2000).flatMap(s => (1 to 3).map(t => (s"s$s", t.toDouble, s + t * 0.1)))
+    val df = rows.toDF("subj", "visit", "v")
+    val subjStats = df.groupBy(lit("k").as("__key"), col("subj"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("ss"))
+    val est = graft.stats.VarComp.estimates(subjStats)
+    // two-level aggregation: subject grain collapses to scope grain inside
+    // the plan — the frame any consumer sees is one row per scope
+    assert(est.count() == 1)
+    val p = plan(est)
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
   test("whole-stage codegen covers the hot scan→project paths") {
     // AQE wraps the plan lazily; force the final plan by executing
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf("sf0.001"))

@@ -98,6 +98,23 @@ class EngineSpec extends SparkSpec {
     assert(manifest2.map(_.checkHash).distinct.size == 1)
   }
 
+  test("resume after a suite change ignores the old suite's state (no stale mixing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume-c").toString
+    val input = pages.withColumn("quarter",
+      concat(year(col("warc_ts")), lit(" Q"), ceil(month(col("warc_ts")) / 3.0).cast("int")))
+    val suiteA = Runner.Suite(checks = Seq(UniquenessCheck("uA", Seq("url"))), keyCol = "url")
+    val suiteB = Runner.Suite(checks = Seq(UniquenessCheck("uB", Seq("url", "host_id"))), keyCol = "url")
+    Runner.runResumable(input, suiteA, dir, "quarter", "run-a")
+    val resB = Runner.runResumable(input, suiteB, dir, "quarter", "run-b")
+    val ids = resB.verdicts.select("check_id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids == Set("uB"), s"stale suite-A state leaked into the result: $ids")
+    // shrunk input: resume must not resurrect units absent from the input
+    val oneQuarter = input.filter(col("quarter") === "2023 Q3")
+    val resShrunk = Runner.runResumable(oneQuarter, suiteB, dir, "quarter", "run-c")
+    assert(resShrunk.verdicts.count() == 1,
+      "read-back must be restricted to units present in the current input")
+  }
+
   test("multimodal plumbing: decode stub and frame sampling shapes") {
     val mm = graft.operators.Multimodal.decodeStub(pages.limit(100), "url", "html")
     val rows = mm.collect()

@@ -108,6 +108,125 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(viol.exists(_.getAs[String]("key") == "S4"))
   }
 
+  test("Pairwise grid reproduces the reference's heat-map tests (Categorical_Check.sas:368-419)") {
+    // same planted fixture as the one-vs-rest golden: S4 inverted
+    val base = for {
+      site <- Seq("S1", "S2", "S3")
+      (resp, n) <- Seq(("yes", 60), ("no", 30), ("na", 10))
+      i <- 0 until n
+    } yield (site, resp)
+    val shifted = for {
+      (resp, n) <- Seq(("yes", 10), ("no", 30), ("na", 60))
+      i <- 0 until n
+    } yield ("S4", resp)
+    val df = (base ++ shifted).toDF("site", "resp")
+    val check = CategoricalConsistencyCheck("cc", "resp", "site", alphaBar = 0.05)
+    val got = CategoricalConsistency.pairwiseTests(df, check).collect()
+      .map(r => (r.getAs[String]("grp1"), r.getAs[String]("grp2")) ->
+        (r.getAs[Double]("stat"), r.getAs[Double]("p_raw"), r.getAs[Double]("p_holm"))).toMap
+
+    // independent plain-Scala oracle: chi-square per (i, j) pair over the
+    // values × {gi, gj} table, Holm across the 6 pairs
+    val counts = (base ++ shifted).groupBy(identity).map { case ((s, r), xs) => (s, r, xs.size) }
+    def cnt(s: String, r: String) = counts.find(c => c._1 == s && c._2 == r).map(_._3).getOrElse(0).toDouble
+    val sites = Seq("S1", "S2", "S3", "S4")
+    val resps = Seq("na", "no", "yes")
+    val pairs = for (i <- sites.indices; j <- i + 1 until sites.size) yield (sites(i), sites(j))
+    val raw = pairs.map { case (g1, g2) =>
+      val n1 = resps.map(cnt(g1, _)).sum
+      val n2 = resps.map(cnt(g2, _)).sum
+      val present = resps.filter(r => cnt(g1, r) + cnt(g2, r) > 0)
+      val stat = present.map { r =>
+        val rv = cnt(g1, r) + cnt(g2, r)
+        val e1 = n1 * rv / (n1 + n2); val e2 = n2 * rv / (n1 + n2)
+        (if (e1 > 0) math.pow(cnt(g1, r) - e1, 2) / e1 else 0.0) +
+          (if (e2 > 0) math.pow(cnt(g2, r) - e2, 2) / e2 else 0.0)
+      }.sum
+      (g1, g2) -> (stat, Distributions.chiSqPValue(stat, present.size - 1))
+    }
+    val holm = graft.stats.Holm.adjust(raw.map(_._2._2))
+    raw.zip(holm).foreach { case (((g1, g2), (stat, p)), ph) =>
+      assert(math.abs(got((g1, g2))._1 - stat) < 1e-9, s"($g1,$g2) stat")
+      assert(math.abs(got((g1, g2))._2 - p) < 1e-9, s"($g1,$g2) p_raw")
+      assert(math.abs(got((g1, g2))._3 - ph) < 1e-9, s"($g1,$g2) p_holm")
+    }
+    // every S4 pair flags; the clean S1/S2/S3 pairs don't
+    assert(got(("S1", "S4"))._3 < 0.05 && got(("S2", "S4"))._3 < 0.05 && got(("S3", "S4"))._3 < 0.05)
+    assert(got(("S1", "S2"))._3 >= 0.05 && got(("S1", "S3"))._3 >= 0.05 && got(("S2", "S3"))._3 >= 0.05)
+  }
+
+  test("Pairwise missing-pair fallback p=1 (Categorical_Check.sas:402-416)") {
+    // two panels; group C only exists in 2024 Q1 → (B,C)/(A,C) in Q2 are
+    // missing pairs and must emit p_raw = 1 fallback rows
+    val q1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val q2 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    val rows =
+      Seq.fill(30)(("A", "x", q1)) ++ Seq.fill(30)(("A", "y", q1)) ++
+      Seq.fill(30)(("B", "x", q1)) ++ Seq.fill(30)(("B", "y", q1)) ++
+      Seq.fill(20)(("C", "x", q1)) ++ Seq.fill(20)(("C", "y", q1)) ++
+      Seq.fill(30)(("A", "x", q2)) ++ Seq.fill(30)(("A", "y", q2)) ++
+      Seq.fill(30)(("B", "x", q2)) ++ Seq.fill(30)(("B", "y", q2))
+    val df = rows.toDF("site", "resp", "ts")
+    val t = CategoricalConsistency.pairwiseTests(df,
+      CategoricalConsistencyCheck("cc", "resp", "site", dateCol = Some("ts"),
+        interval = "quarter")).collect()
+    val q2AC = t.find(r => r.getAs[String]("panel") == "2024 Q2" &&
+      r.getAs[String]("grp1") == "A" && r.getAs[String]("grp2") == "C").get
+    assert(q2AC.getAs[Double]("p_raw") == 1.0)
+    assert(q2AC.getAs[String]("test_used") == "missing_pair")
+    val q1AC = t.find(r => r.getAs[String]("panel") == "2024 Q1" &&
+      r.getAs[String]("grp1") == "A" && r.getAs[String]("grp2") == "C").get
+    assert(q1AC.getAs[String]("test_used") == "chisq")
+    assert(q1AC.getAs[Double]("p_raw") > 0.9, "balanced pair ≈ no signal")
+  }
+
+  test("Fisher fallback to chi-square is flagged in tests and verdicts (SURVEY §7.6.2)") {
+    // 3 categories → fisher request can't use the 2x2 exact path
+    val rows = Seq.fill(40)(("A", "x")) ++ Seq.fill(30)(("A", "y")) ++ Seq.fill(20)(("A", "z")) ++
+      Seq.fill(20)(("B", "x")) ++ Seq.fill(30)(("B", "y")) ++ Seq.fill(40)(("B", "z"))
+    val df = rows.toDF("site", "resp")
+    val check = CategoricalConsistencyCheck("cf", "resp", "site", test = "fisher")
+    val t = CategoricalConsistency.tests(df, check).collect()
+    assert(t.forall(_.getAs[String]("test_used") == "chisq_fallback"))
+    val v = CategoricalConsistency.verdicts(df, check)
+      .filter(col("metric").contains("fallback")).collect()
+    assert(v.nonEmpty && v.forall(_.getAs[String]("metric") == "chisq_fallback_one_vs_rest"))
+    // 2 categories → the exact path IS used and not flagged
+    val rows2 = Seq.fill(40)(("A", "x")) ++ Seq.fill(30)(("A", "y")) ++
+      Seq.fill(20)(("B", "x")) ++ Seq.fill(30)(("B", "y"))
+    val t2 = CategoricalConsistency.tests(rows2.toDF("site", "resp"),
+      CategoricalConsistencyCheck("cf2", "resp", "site", test = "fisher")).collect()
+    assert(t2.forall(_.getAs[String]("test_used") == "fisher"))
+  }
+
+  test("_All_ overall bar emitted per panel (Categorical_Check.sas:317-340)") {
+    val rows = Seq.fill(60)(("A", "x")) ++ Seq.fill(40)(("A", "y")) ++
+      Seq.fill(30)(("B", "x")) ++ Seq.fill(70)(("B", "y"))
+    val df = rows.toDF("site", "resp")
+    val check = CategoricalConsistencyCheck("ob", "resp", "site")
+    val bar = CategoricalConsistency.overallBar(df, check).collect()
+      .map(r => r.getAs[String]("value") -> (r.getAs[Long]("cnt"), r.getAs[Double]("row_pct"))).toMap
+    assert(bar("x") == ((90L, 45.0)) && bar("y") == ((110L, 55.0)))
+    val v = CategoricalConsistency.verdicts(df, check)
+      .filter(col("metric") === "overall_bar").collect()
+    assert(v.length == 1)
+    assert(v(0).getAs[String]("partition").endsWith("grp=_All_"))
+    assert(v(0).getAs[Long]("n_obs") == 200L && v(0).getAs[Boolean]("pass"))
+  }
+
+  test("pairwise=true folds the heat-map grid into check verdicts") {
+    val rows = Seq.fill(60)(("A", "x")) ++ Seq.fill(40)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(90)(("B", "y"))
+    val df = rows.toDF("site", "resp")
+    val v = CategoricalConsistency.verdicts(df,
+      CategoricalConsistencyCheck("pw", "resp", "site", pairwise = true, alphaBar = 0.05))
+      .collect()
+    val pairRows = v.filter(_.getAs[String]("metric").endsWith("_pairwise"))
+    assert(pairRows.length == 1)
+    assert(pairRows(0).getAs[String]("partition").endsWith("pair=A|B"))
+    assert(!pairRows(0).getAs[Boolean]("pass"), "planted shift must fail the pair test")
+  }
+
   test("CategoricalConsistency minNum excludes small groups (Categorical_Check.sas:254)") {
     val rows = Seq.fill(50)(("big", "x")) ++ Seq.fill(50)(("big2", "y")) ++
       Seq(("small", "x"), ("small", "y"))
@@ -248,6 +367,28 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(tc.forall(_.getAs[Boolean]("pass")), "clean windows must pass")
   }
 
+  test("Drift zero-fills empty bins: chi-square terms, df and KS include them") {
+    // disjoint supports: Q1 mass in bins 0-1, Q2 in bins 2-3 (bins=4,
+    // min=0.5, max=3.5 → width 0.75). Hand-computed: every bin term is
+    // (10-5)²/5 + (0-5)²/5 = 10 → stat 40 over 4 bins, df 3, KS 1.0.
+    // WITHOUT the fill, Q1's empty bins 2-3 emit no rows → stat 20, df 1.
+    val q1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val q2 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    val rows =
+      Seq.fill(10)((q1, 0.5)) ++ Seq.fill(10)((q1, 1.5)) ++
+      Seq.fill(10)((q2, 2.5)) ++ Seq.fill(10)((q2, 3.5))
+    val df = rows.toDF("ts", "v")
+    val t = Drift.tests(df, DriftCheck("dz", "v", "ts", interval = "quarter",
+      bins = 4)).collect()
+      .map(r => r.getAs[String]("panel") ->
+        (r.getAs[Double]("stat"), r.getAs[Double]("df"), r.getAs[Double]("ks"))).toMap
+    for (p <- Seq("2024 Q1", "2024 Q2")) {
+      assert(math.abs(t(p)._1 - 40.0) < 1e-9, s"$p stat=${t(p)._1}")
+      assert(t(p)._2 == 3.0, s"$p df=${t(p)._2}")
+      assert(math.abs(t(p)._3 - 1.0) < 1e-9, s"$p ks=${t(p)._3}")
+    }
+  }
+
   // ---- uniqueness / referential / byte identity ---------------------------
 
   test("Uniqueness counts extra rows; Referential finds orphans; ByteIdentity catches divergence") {
@@ -267,6 +408,28 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(!bi.getAs[Boolean]("pass") && bi.getAs[Double]("stat") == 1.0)
     val bv = ByteIdentity.violations(df, ByteIdentityCheck("b", "url", "text")).collect()
     assert(bv.map(_.getAs[String]("key")).toSeq == Seq("u4"))
+  }
+
+  test("fused KeyScan phase 1 ≡ standalone uniqueness + byte-identity phase 1") {
+    val df = Seq(
+      ("u1", "t1"), ("u2", "t2"), ("u2", "t2"), ("u2", "t2"),
+      ("u4", "t4"), ("u4", "DIFFERENT"), ("u5", "t5")
+    ).toDF("url", "text")
+    val u = UniquenessCheck("u", Seq("url"))
+    val b = ByteIdentityCheck("b", "url", "text")
+    val p1 = KeyScan.phase1(df, Seq("url"), "text")
+    val uvFused = Uniqueness.verdicts(df, u, Some(KeyScan.uniqueCandidates(p1))).collect()(0)
+    val uvPlain = Uniqueness.verdicts(df, u).collect()(0)
+    assert(uvFused.getAs[Double]("stat") == uvPlain.getAs[Double]("stat") &&
+      uvFused.getAs[Double]("stat") == 3.0)
+    val bvFused = ByteIdentity.verdicts(df, b, Some(KeyScan.byteCandidates(p1))).collect()(0)
+    val bvPlain = ByteIdentity.verdicts(df, b).collect()(0)
+    assert(bvFused.getAs[Double]("stat") == bvPlain.getAs[Double]("stat") &&
+      bvFused.getAs[Double]("stat") == 1.0)
+    val keys = ByteIdentity.violations(df, b, candidates = Some(KeyScan.byteCandidates(p1)))
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(keys == Seq("u4"))
+    p1.unpersist()
   }
 
   test("ColumnStats fused pass: thresholds verdict correctly") {
