@@ -17,10 +17,28 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_PAGES  — synthetic pages row count (default 2,000,000)
   */
 object Bench {
+  /** Locale-stable numeric rendering — the driver json.loads the line, and
+    * a comma-decimal JVM locale would corrupt it. */
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "2000000").toLong
+    // NOTE: driver heap cannot be set from inside an already-running JVM —
+    // size it at launch (sbt -mem / SBT_OPTS / .jvmopts), see BENCH/BASELINE.md
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -28,7 +46,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,10 +54,17 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a crashing query must surface as an error, not a flattering fast
+    // timing (round-1 fix): per-query error strings ride the JSON line
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.allSpecs.foreach { spec =>
       results(spec.name) = time {
         try spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors(spec.name) = jsonEscape(
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
       }
     }
 
@@ -58,14 +82,16 @@ object Bench {
     results("validation_suite_pages") = suiteSec
     val docsPerSec = nPages / suiteSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(s"""{"metric":"validation throughput (docs/sec), full suite over """ +
       s"""$nPages synthetic pages at local[$cpus], value=end-to-end seconds all queries+suite",""" +
-      s""""value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""cpus":$cpus,"pages":$nPages,"suite_sec":$suiteSec,""" +
-      f""""docs_per_sec":$docsPerSec%.1f}""")
+      s""""value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
+      s""""cpus":$cpus,"pages":$nPages,"suite_sec":${num(suiteSec, 3)},""" +
+      s""""docs_per_sec":${num(docsPerSec, 1)}}""")
     spark.stop()
   }
 }

@@ -75,7 +75,9 @@ object ScalingBench {
         }
       }
       val eff = cres(lo).min / (4.0 * cres(hi).min)
-      println(f"""{"metric":"compute scaling efficiency","value":$eff%.3f,"unit":"ratio","pages":$nPages}""")
+      println(s"""{"metric":"compute scaling efficiency","value":${num(eff, 3)},""" +
+        s""""unit":"ratio","pages":$nPages,"n_cores":$lo,"n4_cores":$hi,""" +
+        s""""best_sec_n":${num(cres(lo).min, 2)},"best_sec_4n":${num(cres(hi).min, 2)}}""")
       return
     }
 
@@ -95,9 +97,13 @@ object ScalingBench {
     val eff = bestLo / (4.0 * bestHi)
     println(f"[scaling] best local[$lo]=${bestLo}%.2f s (${nPages / bestLo}%.0f docs/s), " +
       f"best local[$hi]=${bestHi}%.2f s (${nPages / bestHi}%.0f docs/s)")
-    println(f"""{"metric":"scaling efficiency T($lo)/(4*T($hi))","value":$eff%.3f,""" +
-      f""""unit":"ratio","n_cores":$lo,"n4_cores":$hi,"pages":$nPages,""" +
-      f""""best_sec_n":$bestLo%.2f,"best_sec_4n":$bestHi%.2f,""" +
-      f""""docs_per_sec_n":${nPages / bestLo}%.0f,"docs_per_sec_4n":${nPages / bestHi}%.0f}""")
+    println(s"""{"metric":"scaling efficiency T($lo)/(4*T($hi))","value":${num(eff, 3)},""" +
+      s""""unit":"ratio","n_cores":$lo,"n4_cores":$hi,"pages":$nPages,""" +
+      s""""best_sec_n":${num(bestLo, 2)},"best_sec_4n":${num(bestHi, 2)},""" +
+      s""""docs_per_sec_n":${num(nPages / bestLo, 0)},"docs_per_sec_4n":${num(nPages / bestHi, 0)}}""")
   }
+
+  /** Locale-stable numeric rendering (the driver json.loads these lines). */
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 }

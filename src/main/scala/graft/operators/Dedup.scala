@@ -13,16 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bound on the per-group id sample in `exactGroups`: one degenerate hot
+    * fingerprint (e.g. empty text over a 10^12-row corpus) must not build
+    * a multi-million-element array anywhere — not in the result row and
+    * not in an aggregation buffer. */
+  val MaxSampleIds = 100
+
   /** Exact duplicate groups by normalized-text fingerprint.
-    * Returns (fingerprint, n_docs, keep_id, dup_ids). Partial hash-agg
-    * map-side; the md5 group key is uniformly distributed → no skew. */
-  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("fp", TF.fingerprint(col(textCol)))
-      .groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"),
-        min(col(idCol)).as("keep_id"),
-        sort_array(collect_list(col(idCol))).as("all_ids"))
+    * Returns (fingerprint, n_docs, keep_id, all_ids) where all_ids is the
+    * first `MaxSampleIds` ids by id order (n_docs carries the true count).
+    *
+    * Two phases so the id list is bounded end to end: phase 1 is the plain
+    * partial hash-agg (count + min only — fixed-size buffers, md5 keys are
+    * uniform → no skew); phase 2 semi-joins the duplicate rows (tiny
+    * subset) and samples ≤ MaxSampleIds ids per group via a capped
+    * row_number — the hot group sorts/spills, it never materializes an
+    * unbounded array. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.withColumn("fp", TF.fingerprint(col(textCol)))
+    val groups = withFp.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    val sample = withFp
+      .join(groups.select("fp"), Seq("fp"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= MaxSampleIds)
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col(idCol))).as("all_ids"))
+    groups.join(sample, Seq("fp"))
+      .select("fp", "n_docs", "keep_id", "all_ids")
+  }
 
   /** Rows to drop under exact dedup (everything but the min id per group). */
   def exactDropList(df: DataFrame, idCol: String, textCol: String): DataFrame = {

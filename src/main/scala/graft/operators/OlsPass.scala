@@ -92,12 +92,79 @@ object OlsPass {
     needed.foldLeft(df)((acc, c) => acc.filter(col(c).isNotNull))
   }
 
+  /** Widest design the unrolled column-arithmetic pass handles; wider
+    * designs (p² expression terms) fall back to the UDF path. */
+  val MaxUnrollP = 16
+
   /** Pass 2: per-row residual statistics (resid, leverage, rstudent, cookd,
-    * dfe, s2) via the broadcast fit map. No shuffle. */
+    * dfe, s2). No shuffle. The hot path is pure column arithmetic over a
+    * broadcast-joined fit row (β, (XᵀX)⁺ unrolled to p + p² literal-ish
+    * columns) so the widest row-level pass of the statistical operators
+    * stays inside whole-stage codegen — no per-row Scala UDF or array
+    * allocation (round-1 fix). */
   def rowStats(df: DataFrame, outcome: String, d: Design,
       scope: Seq[String], fits: Map[String, Ols.Fit]): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(fits)
+    val keyCol =
+      if (scope.isEmpty) lit("")
+      else concat_ws("/", scope.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+    val filtered = completeCasesSimple(df, outcome, d).withColumn("__key", keyCol)
+    if (d.p <= MaxUnrollP) rowStatsUnrolled(filtered, outcome, d, fits)
+    else rowStatsUdf(filtered, outcome, d, fits)
+  }
+
+  /** Codegen path: same arithmetic (and operation order) as Ols.rowStats. */
+  private[operators] def rowStatsUnrolled(filtered: DataFrame, outcome: String,
+      d: Design, fits: Map[String, Ols.Fit]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark = filtered.sparkSession
+    val p = d.p
+    val schema = StructType(
+      Seq(StructField("__key", StringType, nullable = false),
+        StructField("__dfe", DoubleType, nullable = false),
+        StructField("__s2", DoubleType, nullable = false),
+        StructField("__rank", IntegerType, nullable = false)) ++
+      (0 until p).map(i => StructField(s"__b_$i", DoubleType, nullable = false)) ++
+      (for (i <- 0 until p; j <- 0 until p)
+        yield StructField(s"__a_${i}_$j", DoubleType, nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] = fits.toSeq.map { case (k, f) =>
+      org.apache.spark.sql.Row.fromSeq(
+        k +: f.dfe +: f.s2 +: f.rank +: (f.beta.toSeq ++ f.xtxInv.toSeq))
+    }
+    val fitDf = spark.createDataFrame(rows.asJava, schema)
+    val xs = featureCols(d)
+    val y = col(outcome).cast("double")
+    val nan = lit(Double.NaN)
+    // ŷ = Σᵢ xᵢβᵢ, h = Σᵢ xᵢ·(Σⱼ Aᵢⱼxⱼ) — left-associated like the loop form
+    val pred = xs.zipWithIndex.map { case (x, i) => x * col(s"__b_$i") }.reduce(_ + _)
+    val hRaw = xs.zipWithIndex.map { case (xi, i) =>
+      xi * xs.zipWithIndex.map { case (xj, j) => col(s"__a_${i}_$j") * xj }.reduce(_ + _)
+    }.reduce(_ + _)
+    val out = filtered
+      .join(broadcast(fitDf), Seq("__key")) // inner: rows without a fit drop
+      .withColumn("resid", y - pred)
+      .withColumn("leverage", least(greatest(hRaw, lit(0.0)), lit(1.0 - 1e-12)))
+      .withColumn("__s2i",
+        (col("__dfe") * col("__s2") - col("resid") * col("resid") / (lit(1.0) - col("leverage"))) /
+          (col("__dfe") - 1))
+      .withColumn("rstudent",
+        when(col("__dfe") <= 1 || isnan(col("__s2")), nan)
+          .when(col("__s2i") <= 0, nan)
+          .otherwise(col("resid") / sqrt(col("__s2i") * (lit(1.0) - col("leverage")))))
+      .withColumn("cookd",
+        when(isnan(col("__s2")) || col("__s2") <= 0, nan)
+          .otherwise(col("resid") * col("resid") * col("leverage") /
+            (col("__rank") * col("__s2") * (lit(1.0) - col("leverage")) * (lit(1.0) - col("leverage")))))
+      .withColumn("dfe", col("__dfe"))
+      .withColumn("s2", col("__s2"))
+    out.select((filtered.columns ++
+      Seq("resid", "leverage", "rstudent", "cookd", "dfe", "s2")).map(col): _*)
+  }
+
+  /** Fallback for wide designs: per-row UDF over the broadcast fit map. */
+  private[operators] def rowStatsUdf(filtered: DataFrame, outcome: String,
+      d: Design, fits: Map[String, Ols.Fit]): DataFrame = {
+    val bc = filtered.sparkSession.sparkContext.broadcast(fits)
     val statUdf = udf((key: String, feats: Seq[Double], yv: Double) => {
       bc.value.get(key) match {
         case Some(fit) =>
@@ -106,13 +173,8 @@ object OlsPass {
         case None => None
       }
     })
-    val keyCol =
-      if (scope.isEmpty) lit("")
-      else concat_ws("/", scope.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
-    val filtered = completeCasesSimple(df, outcome, d)
     filtered
       .withColumn("__feats", array(featureCols(d): _*))
-      .withColumn("__key", keyCol)
       .withColumn("__st", statUdf(col("__key"), col("__feats"), col(outcome).cast("double")))
       .filter(col("__st").isNotNull)
       .withColumn("resid", col("__st._1"))

@@ -43,4 +43,19 @@ class QueriesSpec extends SparkSpec {
       prefixBits = 8, maxHamming = 0)
     assert(sim.count() >= 20) // identical docs share identical simhash
   }
+
+  test("exactGroups caps the id sample on a degenerate hot fingerprint") {
+    import spark.implicits._
+    // 10k rows of identical text — a boilerplate-degenerate group
+    val hot = (1L to 10000L).map(i => (i, "the same boilerplate page"))
+    val tail = Seq((20001L, "unique a"), (20002L, "unique b"))
+    val df = (hot ++ tail).toDF("doc_id", "text")
+    val g = graft.operators.Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_docs") == 10000L, "true count preserved")
+    assert(g(0).getAs[Long]("keep_id") == 1L)
+    val ids = g(0).getSeq[Long](3)
+    assert(ids.size == graft.operators.Dedup.MaxSampleIds, s"sample capped, got ${ids.size}")
+    assert(ids == (1L to graft.operators.Dedup.MaxSampleIds.toLong))
+  }
 }
