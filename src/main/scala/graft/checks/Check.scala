@@ -135,7 +135,12 @@ final case class LongitudinalOutlierCheck(
     discCovariates: Seq[String] = Nil,
     scope: Seq[String] = Nil,
     cutoffPct: Double = 90,
-    severity: String = "warn") extends Check
+    severity: String = "warn",
+    /** Variance-component estimator: "mom" (ANOVA method-of-moments,
+      * fully distributed, the scale default) or "reml" (exact profile
+      * REML matching PROC MIXED's default method — longitudinalPlot.sas:
+      * 423-442 — driver optimization over GUARDED per-size classes). */
+    method: String = "mom") extends Check
 
 /** Distribution drift across time windows (north rule): equal-width
   * histogram of `column` per `interval` window of `dateCol`; chi-square +

@@ -96,27 +96,28 @@ object CategoricalConsistency {
       .filter(col("n_grp") > check.minNum && col("df") >= 1 &&
         col("n_panel") > col("n_grp")) // a single-group panel has no "rest"
     val useFisher = check.test.equalsIgnoreCase("fisher")
+    // which test actually produced the p-value: fisher runs the
+    // Freeman–Halton network algorithm on the full 2×C table (matching
+    // PROC FREQ's exact test on var×inBar, Categorical_Check.sas:298,305);
+    // only when the table exceeds the exact-enumeration budget do we fall
+    // back to chi-square, FLAGGED so the verdict row is honest about the
+    // substitution (SURVEY §7.6.2).
     val pUdf = udf((stat: Double, dfree: Double,
         cells2: Seq[org.apache.spark.sql.Row]) => {
-      if (useFisher && cells2.size == 2) {
-        val a = cells2.head.getDouble(1).round
-        val b = cells2(1).getDouble(1).round
-        val cc = cells2.head.getDouble(2).round
-        val d = cells2(1).getDouble(2).round
-        Distributions.fisherExact2x2(a, b, cc, d)
-      } else Distributions.chiSqPValue(stat, dfree)
+      if (useFisher) {
+        val row1 = cells2.map(_.getDouble(1).round).toArray
+        val row2 = cells2.map(_.getDouble(2).round).toArray
+        Distributions.fisherExact2xC(row1, row2) match {
+          case Some(p) => (p, "fisher")
+          case None => (Distributions.chiSqPValue(stat, dfree), "chisq_fallback")
+        }
+      } else (Distributions.chiSqPValue(stat, dfree), "chisq")
     })
-    // which test actually produced the p-value: when fisher is requested
-    // but the table isn't 2×2, the reference's FISHER option would run the
-    // r×c network algorithm — we fall back to chi-square per SURVEY §7.6.2
-    // and FLAG it so the verdict row is honest about the substitution.
-    val testUsed =
-      if (!useFisher) lit("chisq")
-      else when(size(col("cells2")) === 2, lit("fisher")).otherwise(lit("chisq_fallback"))
     val withP = perGrp
-      .withColumn("test_used", testUsed)
-      .withColumn("p_raw", pUdf(col("stat"), col("df"), col("cells2")))
-      .drop("cells2")
+      .withColumn("pt", pUdf(col("stat"), col("df"), col("cells2")))
+      .withColumn("p_raw", col("pt._1"))
+      .withColumn("test_used", col("pt._2"))
+      .drop("cells2", "pt")
     holmWithinPanel(withP, keyCols)
   }
 
@@ -180,24 +181,23 @@ object CategoricalConsistency {
     val useFisher = check.test.equalsIgnoreCase("fisher")
     val pUdf = udf((dfree: java.lang.Double, stat: java.lang.Double,
         cells2: Seq[org.apache.spark.sql.Row]) => {
-      if (dfree == null || dfree < 1) 1.0 // missing/untestable pair
-      else if (useFisher && cells2.size == 2) {
-        val aa = cells2.head.getDouble(1).round
-        val bb = cells2.head.getDouble(2).round
-        val cc = cells2(1).getDouble(1).round
-        val dd = cells2(1).getDouble(2).round
-        Distributions.fisherExact2x2(aa, cc, bb, dd)
-      } else Distributions.chiSqPValue(stat, dfree)
+      if (dfree == null || dfree < 1) (1.0, "missing_pair") // missing/untestable pair
+      else if (useFisher) {
+        // rows = the two groups, columns = values — transpose of PROC
+        // FREQ's var×inBar table, same exact test by symmetry
+        val row1 = cells2.map(_.getDouble(1).round).toArray
+        val row2 = cells2.map(_.getDouble(2).round).toArray
+        Distributions.fisherExact2xC(row1, row2) match {
+          case Some(p) => (p, "fisher")
+          case None => (Distributions.chiSqPValue(stat, dfree), "chisq_fallback")
+        }
+      } else (Distributions.chiSqPValue(stat, dfree), "chisq")
     })
-    val testUsed =
-      when(col("df").isNull || col("df") < 1, lit("missing_pair"))
-        .otherwise(
-          if (!useFisher) lit("chisq")
-          else when(size(col("cells2")) === 2, lit("fisher")).otherwise(lit("chisq_fallback")))
     val withP = full
-      .withColumn("test_used", testUsed)
-      .withColumn("p_raw", pUdf(col("df"), col("stat"), col("cells2")))
-      .drop("cells2")
+      .withColumn("pt", pUdf(col("df"), col("stat"), col("cells2")))
+      .withColumn("p_raw", col("pt._1"))
+      .withColumn("test_used", col("pt._2"))
+      .drop("cells2", "pt")
     // Holm family = all pairs within the panel, fallback p=1 rows included
     // (the reference's multtest input includes them, :435-448)
     holmWithinPanel(withP, keyCols)

@@ -31,7 +31,12 @@ object LongitudinalOutlier {
     // no subject-proportional collect).
     val subjStats = withResid.groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
       .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
-    val est = VarComp.estimates(subjStats)
+    // method=reml is the PROC MIXED default-parity path (exact profile
+    // REML, guarded per-size-class collect); mom is the fully distributed
+    // scale default — both emit the same (σ²_b, σ²_e)-per-scope schema.
+    val est =
+      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(subjStats)
+      else VarComp.estimates(subjStats)
     // per-scope t cutoff with the SAS low-df workaround mirrored exactly
     // (longitudinalPlot.sas:453-456); fits is already driver-side and
     // MaxGroups-guarded, so this frame is one tiny row per scope.

@@ -13,7 +13,9 @@ object OperatorQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
-    // M9: Fisher's exact path of the categorical check (2×2 tables)
+    // M9: Fisher's exact path of the categorical check (Freeman–Halton
+    // on the full 2×C table; chi-square fallback only over the
+    // enumeration budget, flagged in test_used)
     QuerySpec("q47_fisher_consistency",
       (s, dir) => {
         val docs = read(s, dir, "documents").filter(col("lang").isin("en", "de"))
@@ -55,6 +57,25 @@ object OperatorQueries {
         read(s, dir, "events"),
         LongitudinalOutlierCheck("lo", "value", "user_id", cutoffPct = 99))
         .select("partition", "metric", "stat", "n_obs", "pass"),
+      None),
+
+    // M4 REML path: exact profile REML variance components per scope
+    // (PROC MIXED default method parity, longitudinalPlot.sas:423-442) —
+    // rows-only (the optimizer isn't SQL-expressible; the estimator is
+    // matrix-likelihood-golden-tested in VarCompSpec)
+    QuerySpec("q56_reml_varcomp",
+      (s, dir) => {
+        val ev = read(s, dir, "events")
+          .withColumn("__key", lit("all"))
+          .groupBy(col("__key"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum("value").as("s"),
+            sum(col("value") * col("value")).as("ss"))
+        graft.stats.VarComp.remlEstimates(ev)
+          .select(col("__key").as("scope"),
+            round(col("sigma_b2"), 6).as("sigma_b2"),
+            round(col("sigma_e2"), 6).as("sigma_e2"),
+            col("k_subjects"), col("n_rows"))
+      },
       None),
 
     // Multimodal plumbing: binary payload → deterministic feature stub →

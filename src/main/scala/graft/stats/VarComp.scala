@@ -88,6 +88,141 @@ object VarComp {
         col("n").as("n_rows"))
   }
 
+  /** Per-(key, subject-size) sufficient statistics for exact REML.
+    *
+    * Subjects with equal nᵢ are interchangeable in the intercept-only
+    * random-effects likelihood (their λ-dependent weights are identical),
+    * so collapsing to the size grain loses nothing — and bounds the
+    * collected frame by the number of DISTINCT subject sizes, not the
+    * number of subjects (10⁸⁺ at design scale).
+    *
+    * @param subjStats one row per (key, subject): (keyCol, n, s, ss).
+    * @return one row per (key, n): k subjects of that size, Σs, Σs², Σss.
+    */
+  def sizeStats(subjStats: DataFrame, keyCol: String = "__key"): DataFrame =
+    subjStats.groupBy(col(keyCol), col("n"))
+      .agg(count(lit(1)).as("k"),
+        sum("s").as("sum_s"),
+        sum(col("s") * col("s")).as("sum_s2"),
+        sum("ss").as("sum_ss"))
+
+  /** One size class: k subjects with n rows each; sums of per-subject
+    * residual sums / squared sums / sums of squares. */
+  final case class SizeStat(n: Long, k: Long, sumS: Double, sumS2: Double, sumSS: Double)
+
+  /** Exact profile REML for the intercept-only random-effects model on
+    * residuals, r ~ N(μ1, σ²ₑ I + σ²_b Z Z') — the reference's PROC MIXED
+    * default method=REML with `random intercept / subject=` slice
+    * (longitudinalPlot.sas:423-442). Fixed effects beyond the residual
+    * intercept are pre-removed by the OLS pass (deviation from PROC
+    * MIXED's joint fit, documented per SURVEY §7.6.1).
+    *
+    * With λ = σ²_b/σ²ₑ and wₙ = 1/(1+nλ):
+    *   μ̂(λ)  = Σ wₙ·sumSₙ / Σ wₙ·n·kₙ
+    *   Q(λ)  = Σ [sumSSₙ − 2μ̂·sumSₙ + kₙn·μ̂²
+    *              − λwₙ(sumS2ₙ − 2nμ̂·sumSₙ + kₙn²·μ̂²)]
+    *   −2l_R(λ) ∝ (N−1)·log Q(λ) + Σ kₙ·log(1+nλ) + log(Σ wₙ·n·kₙ)
+    * maximized by a coarse log-λ scan + golden-section refinement, with
+    * the λ=0 boundary checked explicitly. σ̂²ₑ = Q(λ̂)/(N−1), σ̂²_b = λ̂σ̂²ₑ.
+    * For balanced data this coincides with the ANOVA/MoM estimator when
+    * MSB > MSW (classic equivalence) — property-tested.
+    */
+  def remlFromSizeStats(stats: Seq[SizeStat]): Estimate = {
+    val k = stats.map(_.k).sum
+    val n = stats.map(s => s.n * s.k).sum
+    if (k == 0 || n == 0) return Estimate(Double.NaN, Double.NaN, k, n)
+    if (k == 1 || n == k) {
+      // one subject or all-singleton subjects: σ²_b unidentifiable → 0
+      val mom = fromResidualStats(stats.flatMap(s =>
+        Seq.fill(s.k.toInt)((s.n, s.sumS / s.k, s.sumSS / s.k))))
+      return Estimate(0.0, mom.sigmaE2, k, n)
+    }
+    def neg2lr(lambda: Double): Double = {
+      var swS = 0.0; var swNK = 0.0
+      stats.foreach { st =>
+        val w = 1.0 / (1.0 + st.n * lambda)
+        swS += w * st.sumS
+        swNK += w * st.n * st.k
+      }
+      val mu = if (swNK > 0) swS / swNK else 0.0
+      var q = 0.0; var logdet = 0.0
+      stats.foreach { st =>
+        val w = 1.0 / (1.0 + st.n * lambda)
+        val centered = st.sumSS - 2 * mu * st.sumS + st.k * st.n * mu * mu
+        val sq = st.sumS2 - 2 * st.n * mu * st.sumS + st.k * st.n.toDouble * st.n * mu * mu
+        q += centered - lambda * w * sq
+        logdet += st.k * math.log1p(st.n * lambda)
+      }
+      if (q <= 0) return Double.PositiveInfinity // numerically degenerate
+      (n - 1) * math.log(q) + logdet + math.log(swNK)
+    }
+    // coarse scan over log λ (plus the boundary), then golden-section
+    val grid = 0.0 +: (-90 to 90).map(t => math.exp(t / 5.0))
+    val best = grid.minBy(neg2lr)
+    val lambdaHat =
+      if (best == 0.0 && neg2lr(0.0) <= neg2lr(grid(1))) 0.0
+      else {
+        val i = grid.indexOf(best)
+        var lo = grid(math.max(1, i - 1)); var hi = grid(math.min(grid.size - 1, i + 1))
+        if (i == 1) lo = 1e-19
+        val phi = (math.sqrt(5.0) - 1) / 2
+        var a = math.log(lo); var b = math.log(hi)
+        var c = b - phi * (b - a); var d = a + phi * (b - a)
+        var fc = neg2lr(math.exp(c)); var fd = neg2lr(math.exp(d))
+        var iter = 0
+        while (b - a > 1e-10 && iter < 200) {
+          if (fc < fd) { b = d; d = c; fd = fc; c = b - phi * (b - a); fc = neg2lr(math.exp(c)) }
+          else { a = c; c = d; fc = fd; d = a + phi * (b - a); fd = neg2lr(math.exp(d)) }
+          iter += 1
+        }
+        val cand = math.exp((a + b) / 2)
+        if (neg2lr(0.0) < neg2lr(cand)) 0.0 else cand
+      }
+    // σ̂²ₑ from Q(λ̂)/(N−1)
+    var swS = 0.0; var swNK = 0.0
+    stats.foreach { st =>
+      val w = 1.0 / (1.0 + st.n * lambdaHat)
+      swS += w * st.sumS; swNK += w * st.n * st.k
+    }
+    val mu = if (swNK > 0) swS / swNK else 0.0
+    var q = 0.0
+    stats.foreach { st =>
+      val w = 1.0 / (1.0 + st.n * lambdaHat)
+      q += st.sumSS - 2 * mu * st.sumS + st.k * st.n * mu * mu -
+        lambdaHat * w * (st.sumS2 - 2 * st.n * mu * st.sumS + st.k * st.n.toDouble * st.n * mu * mu)
+    }
+    val sigmaE2 = q / (n - 1)
+    Estimate(lambdaHat * sigmaE2, sigmaE2, k, n)
+  }
+
+  /** Guard: max distinct subject sizes collected per key. ~48 bytes per
+    * row driver-side — 200k sizes ≈ 10 MB, far beyond any real corpus's
+    * distinct per-subject row counts. */
+  val MaxSizes = 200000
+
+  /** REML estimates per key, same output schema as `estimates` so callers
+    * can swap methods. Distributed collapse to the (key, size) grain, then
+    * a GUARDED collect (distinct sizes, not subjects) and driver-side
+    * profile-likelihood optimization per key. */
+  def remlEstimates(subjStats: DataFrame, keyCol: String = "__key"): DataFrame = {
+    val spark = subjStats.sparkSession
+    import spark.implicits._
+    val rows = sizeStats(subjStats, keyCol)
+      .select(col(keyCol).cast("string"), col("n"), col("k"),
+        col("sum_s"), col("sum_s2"), col("sum_ss"))
+      .limit(MaxSizes + 1)
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect()
+    require(rows.length <= MaxSizes,
+      s"remlEstimates: > $MaxSizes distinct (key, subject-size) classes; " +
+        "use method=mom (fully distributed) for this input")
+    val ests = rows.groupBy(_._1).toSeq.map { case (key, rs) =>
+      val e = remlFromSizeStats(rs.toSeq.map(r => SizeStat(r._2, r._3, r._4, r._5, r._6)))
+      (key, e.sigmaB2, e.sigmaE2, e.nSubjects, e.nRows)
+    }
+    ests.toDF(keyCol, "sigma_b2", "sigma_e2", "k_subjects", "n_rows")
+  }
+
   /** Whitening coefficients as pure column arithmetic over an
     * `estimates`-joined row frame: r* = a·r + b·(Σ r over the entity),
     * a = 1/σₑ, b = (1/√(σ²ₑ + n σ²_b) − a)/n. NaN-total like `whitenCoeffs`.

@@ -180,23 +180,41 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(q1AC.getAs[Double]("p_raw") > 0.9, "balanced pair ≈ no signal")
   }
 
-  test("Fisher fallback to chi-square is flagged in tests and verdicts (SURVEY §7.6.2)") {
-    // 3 categories → fisher request can't use the 2x2 exact path
+  test("Fisher exact runs Freeman-Halton on the full 2xC table (Categorical_Check.sas:298,305)") {
+    // 3 categories, n=180: the exact network algorithm handles it (no
+    // 2x2 restriction); in one-vs-rest with two groups, each group's
+    // var×inBar table is the SAME 2×3 table → both p-values = 0.0012350309
+    // (independent brute-force enumeration)
     val rows = Seq.fill(40)(("A", "x")) ++ Seq.fill(30)(("A", "y")) ++ Seq.fill(20)(("A", "z")) ++
       Seq.fill(20)(("B", "x")) ++ Seq.fill(30)(("B", "y")) ++ Seq.fill(40)(("B", "z"))
     val df = rows.toDF("site", "resp")
     val check = CategoricalConsistencyCheck("cf", "resp", "site", test = "fisher")
     val t = CategoricalConsistency.tests(df, check).collect()
-    assert(t.forall(_.getAs[String]("test_used") == "chisq_fallback"))
+    assert(t.forall(_.getAs[String]("test_used") == "fisher"))
+    assert(t.forall(r => math.abs(r.getAs[Double]("p_raw") - 0.0012350309) < 1e-9))
     val v = CategoricalConsistency.verdicts(df, check)
-      .filter(col("metric").contains("fallback")).collect()
-    assert(v.nonEmpty && v.forall(_.getAs[String]("metric") == "chisq_fallback_one_vs_rest"))
-    // 2 categories → the exact path IS used and not flagged
+      .filter(col("metric") === "fisher_one_vs_rest").collect()
+    assert(v.nonEmpty)
+    // 2 categories → same exact path
     val rows2 = Seq.fill(40)(("A", "x")) ++ Seq.fill(30)(("A", "y")) ++
       Seq.fill(20)(("B", "x")) ++ Seq.fill(30)(("B", "y"))
     val t2 = CategoricalConsistency.tests(rows2.toDF("site", "resp"),
       CategoricalConsistencyCheck("cf2", "resp", "site", test = "fisher")).collect()
     assert(t2.forall(_.getAs[String]("test_used") == "fisher"))
+  }
+
+  test("Fisher falls back to chi-square ONLY over the enumeration budget, flagged (SURVEY §7.6.2)") {
+    // n = 3600 > the 2000-row exact budget → chisq_fallback, flagged in
+    // tests and carried into the verdict metric
+    val rows = Seq.fill(800)(("A", "x")) ++ Seq.fill(600)(("A", "y")) ++ Seq.fill(400)(("A", "z")) ++
+      Seq.fill(400)(("B", "x")) ++ Seq.fill(600)(("B", "y")) ++ Seq.fill(800)(("B", "z"))
+    val df = rows.toDF("site", "resp")
+    val check = CategoricalConsistencyCheck("cf3", "resp", "site", test = "fisher")
+    val t = CategoricalConsistency.tests(df, check).collect()
+    assert(t.forall(_.getAs[String]("test_used") == "chisq_fallback"))
+    val v = CategoricalConsistency.verdicts(df, check)
+      .filter(col("metric").contains("fallback")).collect()
+    assert(v.nonEmpty && v.forall(_.getAs[String]("metric") == "chisq_fallback_one_vs_rest"))
   }
 
   test("_All_ overall bar emitted per panel (Categorical_Check.sas:317-340)") {

@@ -37,6 +37,44 @@ class StatsSpec extends AnyFunSuite {
     assert(Distributions.fisherExact2x2(5, 5, 0, 0) == 1.0)
   }
 
+  test("Freeman-Halton 2xC exact matches brute-force enumeration") {
+    // expected values from an independent exact-integer brute force
+    // (sum of hypergeometric probabilities of all same-margin tables with
+    // point probability <= observed, the SAS/R two-sided rule)
+    def fh(r1: Seq[Long], r2: Seq[Long]): Double =
+      Distributions.fisherExact2xC(r1.toArray, r2.toArray).get
+    assert(math.abs(fh(Seq(40, 30, 20), Seq(20, 30, 40)) - 0.0012350309) < 1e-9)
+    assert(math.abs(fh(Seq(1, 2, 3), Seq(3, 2, 1)) - 0.7662337662) < 1e-9)
+    assert(math.abs(fh(Seq(5, 0, 2), Seq(1, 4, 3)) - 0.0497280497) < 1e-9)
+    assert(math.abs(fh(Seq(8, 2, 0, 1), Seq(2, 5, 4, 1)) - 0.0190832186) < 1e-9)
+    assert(math.abs(fh(Seq(12, 7, 3, 1, 0), Seq(4, 6, 5, 2, 3)) - 0.0894278401) < 1e-9)
+  }
+
+  test("Freeman-Halton C=2 agrees with the 2x2 path") {
+    assert(math.abs(Distributions.fisherExact2xC(Array(10L, 5L), Array(2L, 9L)).get -
+      Distributions.fisherExact2x2(10, 5, 2, 9)) < 1e-12)
+    assert(math.abs(Distributions.fisherExact2xC(Array(3L, 1L), Array(1L, 3L)).get -
+      0.4857142857) < 1e-9)
+    assert(math.abs(Distributions.fisherExact2xC(Array(10L, 0L), Array(0L, 10L)).get -
+      1.0825e-5) < 1e-8)
+  }
+
+  test("Freeman-Halton edge cases and enumeration budget") {
+    // degenerate: one row empty / single effective column → p = 1
+    assert(Distributions.fisherExact2xC(Array(0L, 0L, 0L), Array(3L, 2L, 1L)).get == 1.0)
+    assert(Distributions.fisherExact2xC(Array(4L, 0L), Array(3L, 0L)).get == 1.0)
+    // all-zero columns are dropped, not counted
+    assert(math.abs(Distributions.fisherExact2xC(Array(3L, 0L, 1L), Array(1L, 0L, 3L)).get -
+      0.4857142857) < 1e-9)
+    // over the n budget → None (caller falls back to chi-square, flagged)
+    assert(Distributions.fisherExact2xC(
+      Array(2000L, 1500L), Array(1500L, 2000L)).isEmpty)
+    // large-but-within-budget tables complete via subtree termination
+    val p = Distributions.fisherExact2xC(
+      Array(300L, 250L, 200L), Array(200L, 250L, 300L))
+    assert(p.isDefined && p.get > 0 && p.get < 1e-4)
+  }
+
   test("Holm step-down matches hand computation and preserves order") {
     val adj = Holm.adjust(Seq(0.01, 0.04, 0.03, 0.005))
     val exp = Seq(0.03, 0.06, 0.06, 0.02)
