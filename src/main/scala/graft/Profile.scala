@@ -37,7 +37,7 @@ object Profile {
         time(s"${c.id} violations")(noop(graft.operators.Uniqueness.violations(pages, c)))
       case c: ReferentialCheck =>
         val ref = suite.refTables(c.refTable)
-        time(s"${c.id} verdicts")(noop(graft.operators.Referential.verdicts(pages, ref, c)))
+        time(s"${c.id} verdicts")(noop(graft.operators.Referential.verdicts(pages, ref, c, "url")))
         time(s"${c.id} violations")(noop(graft.operators.Referential.violations(pages, ref, c, "url")))
       case c: CategoricalConsistencyCheck =>
         time(s"${c.id} verdicts")(noop(graft.operators.CategoricalConsistency.verdicts(pages, c)))

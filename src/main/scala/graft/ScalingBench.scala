@@ -22,19 +22,35 @@ object ScalingBench {
     val hi = lo * 4
     val results = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
 
+    // AQE defaults on (skew handling at scale); SPARK_GRAFT_AQE=off probes
+    // how much of the suite's fixed cost is AQE's per-exchange
+    // re-optimization barrier on the ~50 reduced-frame stages
+    val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("off")
+    val cacheInput = !sys.env.get("SPARK_GRAFT_CACHE").contains("off")
+
     def runOnce(cpus: Int, rows: Long = nPages): Double = {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"graft-scaling-$cpus")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.graft.cache.input", cacheInput)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {
         val pages = Pages.generate(spark, rows, numPartitions = cpus * 4)
-        pages.cache().count() // input materialized — timing excludes generation
+        // SPARK_GRAFT_CACHE=off: run the suite directly on the lazy
+        // generated frame — each scan REGENERATES deterministically, all
+        // CPU. On one box this is the fairest full-suite scaling proxy:
+        // a real cluster's input scan (parquet I/O) scales with executor
+        // count, while a single box's cached input sits behind ONE memory
+        // bus + ONE disk whose eviction/page-cache interplay varies 2.5×
+        // run-to-run (measured — see BENCH/BASELINE.md). With the cache
+        // every resource the suite touches scales with cores.
+        if (cacheInput)
+          pages.cache().count() // input materialized — timing excludes generation
         val t0 = System.nanoTime()
         val res = Runner.run(pages, Flagship.suite(spark))
         res.verdicts.write.format("noop").mode("overwrite").save()
@@ -43,9 +59,15 @@ object ScalingBench {
       } finally spark.stop()
     }
 
-    // compute-only mode: a shuffle-free row-level pass (minhash signatures
-    // + simhash + quality over generated pages) — isolates CPU scaling
-    // from the shared-disk shuffle the single-box sandbox cannot scale
+    // compute-only mode: a shuffle-free, fully-codegen'd row-level pass
+    // made of the SUITE'S OWN hot per-row operations — xxhash64 key hash +
+    // sha2-256 payload digest (the fused KeyScan map side), terminal-digit
+    // extraction (DigitPreference) and calendar panel binning
+    // (Categorical/Drift) — over deterministically generated pages
+    // (generation is itself pure column CPU work and is included in the
+    // timing; there is no input I/O to time instead). Zero shuffle end to
+    // end, so this isolates CPU scaling from the shared-disk/memory-bus
+    // shuffle the single-box sandbox cannot scale.
     if (sys.env.get("SPARK_GRAFT_MODE").contains("compute")) {
       def computeOnce(cpus: Int): Double = {
         val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -57,9 +79,10 @@ object ScalingBench {
           val pages = Pages.generate(spark, nPages, numPartitions = cpus * 4)
           val t0 = System.nanoTime()
           pages.select(
-            graft.functions.TextFunctions.minhashSignature(col("text"), 3, 8).as("sig"),
-            graft.functions.SimHash64.ofText(col("text")).as("sim"),
-            graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+            xxhash64(col("url")).as("kh"),
+            xxhash64(sha2(col("text").cast("binary"), 256)).as("digest"),
+            graft.operators.DigitPreference.digitAt(col("score"), 0.1).as("d"),
+            graft.operators.PanelBins.panel(col("warc_ts"), "quarter").as("panel"))
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } finally spark.stop()
@@ -78,6 +101,24 @@ object ScalingBench {
       println(s"""{"metric":"compute scaling efficiency","value":${num(eff, 3)},""" +
         s""""unit":"ratio","pages":$nPages,"n_cores":$lo,"n4_cores":$hi,""" +
         s""""best_sec_n":${num(cres(lo).min, 2)},"best_sec_4n":${num(cres(hi).min, 2)}}""")
+      return
+    }
+
+    // one-shot mode: run ONE (cores) config in THIS JVM and exit — the
+    // shell drives alternation with a FRESH JVM per config so the heap can
+    // be memory-proportional (an executor has fixed resources: the 4N-
+    // executor cluster the north rule compares against has 4× cores AND
+    // 4× aggregate memory — giving both core counts the same heap lets
+    // the 4N config evict the shared input cache and measure disk, not
+    // scaling). An untimed in-JVM warmup absorbs JIT/codegen first.
+    sys.env.get("SPARK_GRAFT_ONESHOT").map(_.toInt).foreach { cpus =>
+      val w = runOnce(cpus, math.min(nPages, 1000000L))
+      println(f"[scaling] oneshot warmup cores=$cpus suite=${w}%7.2f s")
+      val sec = runOnce(cpus)
+      println(s"""{"metric":"oneshot suite","cores":$cpus,"pages":$nPages,""" +
+        s""""sec":${num(sec, 2)},"docs_per_sec":${num(nPages / sec, 0)},""" +
+        s""""heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","aqe":$aqe,""" +
+        s""""cache":$cacheInput}""")
       return
     }
 

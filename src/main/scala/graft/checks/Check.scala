@@ -69,11 +69,19 @@ final case class CategoricalConsistencyCheck(
     dateCol: Option[String] = None,
     interval: String = "quarter", // year|half|quarter|month|overall
     scope: Seq[String] = Nil,
-    test: String = "chisq",       // chisq|fisher (fisher exact for 2x2, else chisq)
+    test: String = "chisq",       // chisq|fisher (Freeman–Halton exact on the
+                                  // full 2×C table; chisq fallback past the
+                                  // enumeration budget, flagged)
     alphaBar: Double = 0.1,
     minNum: Long = 0,
     pairwise: Boolean = false,    // also emit the i<j pairwise grid verdicts
                                   // (the reference's heat map, :368-419)
+    holmPooled: Boolean = false,  // pool one-vs-rest + pairwise p-values into
+                                  // ONE Holm family per panel — the reference's
+                                  // exact multtest family (:435-466); requires
+                                  // pairwise=true. Default keeps the families
+                                  // separate so each surface is independently
+                                  // consumable (documented deviation).
     severity: String = "warn") extends Check
 
 /** Terminal-digit-preference check — re-expression of %digitpref

@@ -39,7 +39,11 @@ object Runner {
       df, suite.checks, suite.refTables)
     warnings.foreach(wn => System.err.println(
       s"[graft] WARN check ${wn.checkId}: ${wn.kind} ${wn.detail}"))
-    val shouldCache = checks.size >= 3
+    // spark.graft.cache.input=false lets a caller whose input scan should
+    // be re-executed per pass (e.g. a deterministic generator standing in
+    // for a cluster-scaling parquet scan) opt out of the input cache
+    val shouldCache = checks.size >= 3 &&
+      spark.conf.get("spark.graft.cache.input", "true").toBoolean
     val input = if (shouldCache) df.cache() else df
 
     val colStats = checks.collect { case c: ColumnStatsCheck => c }
@@ -73,7 +77,8 @@ object Runner {
       case c: ReferentialCheck =>
         val ref = suite.refTables.getOrElse(c.refTable,
           throw new IllegalArgumentException(s"missing refTable ${c.refTable}"))
-        (Referential.verdicts(input, ref, c), Referential.violations(input, ref, c, suite.keyCol))
+        (Referential.verdicts(input, ref, c, suite.keyCol),
+          Referential.violations(input, ref, c, suite.keyCol))
       case c: CategoricalConsistencyCheck =>
         (CategoricalConsistency.verdicts(input, c), CategoricalConsistency.violations(input, c))
       case c: DigitPreferenceCheck =>

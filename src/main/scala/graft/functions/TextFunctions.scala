@@ -51,10 +51,23 @@ object TextFunctions {
   def minhash(shingleArr: Column, seed: Int): Column =
     array_min(transform(shingleArr, s => md5(concat(lit(s"$seed|"), s))))
 
-  /** k-element MinHash signature (array<string>). Per-row, no shuffle. */
+  /** k-element MinHash signature (array<string>). Per-row, no shuffle.
+    *
+    * Folds the shingle array ONCE, carrying the k running minima via
+    * `zip_with(least)` — the naive `array(minhash(sh, 0), …)` form
+    * re-evaluates the whole shingle construction (split + n-gram
+    * concat) k times per row, which dominated the LSH signature cost.
+    * Values are identical: per seed, min over shingles of
+    * md5(seed|shingle); an empty shingle array yields k nulls in both
+    * forms (aggregate keeps the null init; `least` skips nulls).
+    */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
     val sh = shingles(text, shingleN)
-    array((0 until k).map(seed => minhash(sh, seed)): _*)
+    val init = array_repeat(lit(null).cast("string"), k)
+    aggregate(sh, init, (acc, s) =>
+      zip_with(acc,
+        array((0 until k).map(seed => md5(concat(lit(s"$seed|"), s))): _*),
+        (a, h) => least(a, h)))
   }
 
   /** LSH band keys: signature split into `bands` concatenated groups.

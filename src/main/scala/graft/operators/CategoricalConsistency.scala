@@ -67,10 +67,16 @@ object CategoricalConsistency {
       .withColumn("panel_total", sum("cnt").over(wPanel))
   }
 
-  /** Per-(panel, grp) one-vs-rest test results: chi-square (or Fisher when
-    * the table is 2×2), raw p, Holm-adjusted p within panel.
+  /** Per-(panel, grp) one-vs-rest test results: chi-square / Freeman–Halton
+    * Fisher on the full table, raw p, Holm-adjusted p within panel.
     */
-  def tests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  def tests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame =
+    holmWithinPanel(oneVsRestRaw(df, check), check.scope :+ "panel")
+
+  /** One-vs-rest frame with raw p-values, BEFORE the Holm adjustment —
+    * the multtest input rows the reference tags plot='Stacked'
+    * (Categorical_Check.sas:435-441). */
+  private[operators] def oneVsRestRaw(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
     val keyCols = check.scope :+ "panel"
     val c = cells(df, check)
     // one-vs-rest 2×C cells: o1 = cnt, o2 = panel_value_total - cnt
@@ -113,12 +119,11 @@ object CategoricalConsistency {
         }
       } else (Distributions.chiSqPValue(stat, dfree), "chisq")
     })
-    val withP = perGrp
+    perGrp
       .withColumn("pt", pUdf(col("stat"), col("df"), col("cells2")))
       .withColumn("p_raw", col("pt._1"))
       .withColumn("test_used", col("pt._2"))
       .drop("cells2", "pt")
-    holmWithinPanel(withP, keyCols)
   }
 
   /** Pairwise (i<j) group-vs-group tests — the reference's heat-map grid
@@ -133,12 +138,18 @@ object CategoricalConsistency {
     *
     * Deviations documented: (a) df counts categories with a nonzero pair
     * row total (SAS /zeros keeps all-zero rows in the printed table; they
-    * contribute no information); (b) Holm is applied over the pairwise
-    * family per panel — the reference pools the one-vs-rest and pairwise
-    * p-values into ONE multtest family per panel (:435-466); keep families
-    * separate so each surface is independently consumable.
+    * contribute no information); (b) by default Holm is applied over the
+    * pairwise family per panel so each surface is independently
+    * consumable — `holmPooled=true` reproduces the reference's exact
+    * pooled multtest family instead (`pooledTests`, :435-466).
     */
-  def pairwiseTests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  def pairwiseTests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame =
+    holmWithinPanel(pairwiseRaw(df, check), check.scope :+ "panel")
+
+  /** Pairwise frame with raw p-values, BEFORE the Holm adjustment — the
+    * multtest input rows the reference tags plot='Heat'
+    * (Categorical_Check.sas:435-448). */
+  private[operators] def pairwiseRaw(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
     val keyCols = check.scope :+ "panel"
     val c = cells(df, check)
       .filter(col("grp_total") > check.minNum)
@@ -193,14 +204,43 @@ object CategoricalConsistency {
         }
       } else (Distributions.chiSqPValue(stat, dfree), "chisq")
     })
-    val withP = full
+    // fallback p=1 rows stay in the Holm family (the reference's multtest
+    // input includes them, :435-448)
+    full
       .withColumn("pt", pUdf(col("df"), col("stat"), col("cells2")))
       .withColumn("p_raw", col("pt._1"))
       .withColumn("test_used", col("pt._2"))
       .drop("cells2", "pt")
-    // Holm family = all pairs within the panel, fallback p=1 rows included
-    // (the reference's multtest input includes them, :435-448)
-    holmWithinPanel(withP, keyCols)
+  }
+
+  /** The reference's EXACT multtest family: one-vs-rest ('Stacked') and
+    * pairwise ('Heat') p-values POOLED into one Holm step-down per panel
+    * (Categorical_Check.sas:435-466), then split back. Returns
+    * (oneVsRest, pairwise) frames with the pooled `p_holm`.
+    *
+    * Both input frames are products of the same cached cells frame, so
+    * pooling adds no input scan — just one more reduced-frame union. */
+  def pooledTests(df: DataFrame, check: CategoricalConsistencyCheck): (DataFrame, DataFrame) = {
+    val keyCols = check.scope :+ "panel"
+    val kc = keyCols.map(col)
+    val stacked = oneVsRestRaw(df, check)
+    val heat = pairwiseRaw(df, check)
+    val sNorm = stacked.select(kc :+ lit("stacked").as("family") :+
+      col("grp").cast("string").as("id1") :+ lit(null).cast("string").as("id2") :+
+      col("p_raw"): _*)
+    val hNorm = heat.select(kc :+ lit("heat").as("family") :+
+      col("grp1").cast("string").as("id1") :+ col("grp2").cast("string").as("id2") :+
+      col("p_raw"): _*)
+    val adjusted = holmWithinPanel(sNorm.unionByName(hNorm), keyCols).drop("p_raw")
+    val adjS = adjusted.filter(col("family") === "stacked")
+      .select(kc :+ col("id1").as("grp") :+ col("p_holm"): _*)
+    val adjH = adjusted.filter(col("family") === "heat")
+      .select(kc :+ col("id1").as("grp1") :+ col("id2").as("grp2") :+ col("p_holm"): _*)
+    (stacked.withColumn("grp", col("grp").cast("string"))
+        .join(adjS, keyCols :+ "grp"),
+      heat.withColumn("grp1", col("grp1").cast("string"))
+        .withColumn("grp2", col("grp2").cast("string"))
+        .join(adjH, keyCols :+ "grp1" :+ "grp2"))
   }
 
   /** The reference's `_All_` overall bar (Categorical_Check.sas:317-340):
@@ -236,7 +276,11 @@ object CategoricalConsistency {
   }
 
   def verdicts(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
-    val t = tests(df, check)
+    // holmPooled reproduces the reference's exact multtest family (one-vs-
+    // rest + pairwise pooled per panel, :435-466); otherwise each surface
+    // is adjusted within its own family
+    val pooled = if (check.pairwise && check.holmPooled) Some(pooledTests(df, check)) else None
+    val t = pooled.map(_._1).getOrElse(tests(df, check))
     val framed = t.select(
       concat_ws("/",
         (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
@@ -264,7 +308,7 @@ object CategoricalConsistency {
         col("n_panel").cast("long").as("n_obs"),
         lit(true).as("pass"))
     val pair = if (!check.pairwise) None else Some {
-      pairwiseTests(df, check).select(
+      pooled.map(_._2).getOrElse(pairwiseTests(df, check)).select(
         concat_ws("/",
           (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
             Seq(concat(lit("panel="), col("panel")),
@@ -285,7 +329,10 @@ object CategoricalConsistency {
     * category with observed vs expected row-percent. */
   def violations(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
     val keyCols = check.scope :+ "panel"
-    val t = tests(df, check).filter(col("p_holm") < check.alphaBar)
+    val base =
+      if (check.pairwise && check.holmPooled) pooledTests(df, check)._1
+      else tests(df, check)
+    val t = base.filter(col("p_holm") < check.alphaBar)
       .select((keyCols :+ "grp").map(col) :+ col("p_holm"): _*)
     val c = cells(df, check)
       .withColumn("dev",

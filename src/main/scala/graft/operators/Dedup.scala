@@ -19,6 +19,26 @@ object Dedup {
     * not in an aggregation buffer. */
   val MaxSampleIds = 100
 
+  /** Default per-bucket membership cap for the bucket-local self-joins:
+    * a boilerplate-heavy bucket (the same cookie banner on 10⁷ pages)
+    * would otherwise pair quadratically. Buckets are truncated to the
+    * first `DefaultMaxBucket` members by id — deterministic, bounds the
+    * worst bucket at cap² pairs; the truly identical members of a hot
+    * bucket are exact-dups and caught by `exactGroups` regardless.
+    * Documented recall tradeoff, tunable per call. */
+  val DefaultMaxBucket = 5000
+
+  /** Keep at most `cap` rows per bucket, deterministically (ordered by
+    * `orderCol`). The row_number window hash-partitions on the bucket —
+    * the SAME partitioning the following self-join needs, so this adds a
+    * sort but no extra shuffle round. */
+  private[operators] def capBucket(df: DataFrame, bucketCol: String,
+      orderCol: String, cap: Int): DataFrame =
+    df.withColumn("__bn",
+        row_number().over(Window.partitionBy(bucketCol).orderBy(col(orderCol))))
+      .filter(col("__bn") <= cap)
+      .drop("__bn")
+
   /** Exact duplicate groups by normalized-text fingerprint.
     * Returns (fingerprint, n_docs, keep_id, all_ids) where all_ids is the
     * first `MaxSampleIds` ids by id order (n_docs carries the true count).
@@ -64,17 +84,19 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      minEstJaccard: Double = 0.5, verifyExact: Boolean = true): DataFrame = {
+      minEstJaccard: Double = 0.5, verifyExact: Boolean = true,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val k = bands * rowsPerBand
     // cache the signature frame: Catalyst's project-collapse would otherwise
     // re-inline the k-hash signature expression into every band element and
     // both join sides — k× redundant md5 work and enormous codegen. At
     // production scale this frame is written to the table store instead.
-    val sig = df
+    val sig0 = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", TF.minhashSignature(col("text"), shingleN, k))
       .cache()
       .withColumn("band", explode(TF.lshBands(col("sig"), bands, rowsPerBand)))
+    val sig = capBucket(sig0, "band", "id", maxBucket)
     val a = sig.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"),
       col("text").as("text_a"))
     val b = sig.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"),
@@ -98,10 +120,12 @@ object Dedup {
     * threshold. (Production variant: q tables with rotated prefixes to
     * guarantee recall; one table suffices for the planted-duplicate tests.) */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      prefixBits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      prefixBits: Int = 16, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val withSig0 = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sim", SimHash64.ofText(col("text")))
       .withColumn("bucket", shiftrightunsigned(col("sim"), 64 - prefixBits))
+    val withSig = capBucket(withSig0, "bucket", "id", maxBucket)
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -16,20 +16,24 @@ import org.apache.spark.sql.functions._
 object Referential {
 
   def orphans(df: DataFrame, ref: DataFrame, check: ReferentialCheck,
-      broadcastDim: Boolean = true): DataFrame = {
+      keyCol: String, broadcastDim: Boolean = true): DataFrame = {
     val dim0 = ref.select(col(check.refColumn).as("__ref")).where(col("__ref").isNotNull).distinct()
     val dim = if (broadcastDim) broadcast(dim0) else dim0
-    // cached: bounded by the orphan rate; verdict count + violation listing
-    // share the single anti-join pass (MEMORY_AND_DISK spills if a
-    // pathological table is mostly orphans)
+    // project to the columns the verdict/violation surfaces need BEFORE
+    // caching: orphan rows would otherwise cache full-width (html/text
+    // payloads) — at a pathological orphan rate that is the whole table.
+    // verdicts + violations build the IDENTICAL plan so the cache-manager
+    // dedups them into one anti-join pass; MEMORY_AND_DISK spills the rest.
+    val keep = (check.scope :+ check.column :+ keyCol).distinct
     df.where(col(check.column).isNotNull)
       .join(dim, col(check.column) === col("__ref"), "left_anti")
+      .select(keep.map(col): _*)
       .cache()
   }
 
   def verdicts(df: DataFrame, ref: DataFrame, check: ReferentialCheck,
-      broadcastDim: Boolean = true): DataFrame = {
-    val o = orphans(df, ref, check, broadcastDim)
+      keyCol: String, broadcastDim: Boolean = true): DataFrame = {
+    val o = orphans(df, ref, check, keyCol, broadcastDim)
     val scoped = if (check.scope.isEmpty) o.groupBy() else o.groupBy(check.scope.map(col): _*)
     val framed = scoped.agg(count(lit(1)).as("orphan_count")).select(
       Results.partitionString(check.scope).as("partition"),
@@ -43,7 +47,7 @@ object Referential {
 
   def violations(df: DataFrame, ref: DataFrame, check: ReferentialCheck,
       keyCol: String, limit: Int = 10000, broadcastDim: Boolean = true): DataFrame = {
-    val v = orphans(df, ref, check, broadcastDim).limit(limit).select(
+    val v = orphans(df, ref, check, keyCol, broadcastDim).limit(limit).select(
       col(keyCol).cast("string").as("key"),
       Results.partitionString(check.scope).as("partition"),
       col(check.column).cast("string").as("observed"),

@@ -54,9 +54,16 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: same-cell pairs above a
     * cosine threshold — the embedding flavor of Dedup. */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      threshold: Double, bits: Int = 8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // hot-cell cap: a degenerate embedding cell (e.g. all-zero vectors)
+    // pairs quadratically — truncate to the first maxBucket members by id
+    // (same rationale + mechanism as Dedup's bucket-local joins)
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", VectorFunctions.signBucket(col("vec"), bits))
+    val c = c0.withColumn("__bn",
+        row_number().over(Window.partitionBy("cell").orderBy(col("id"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
     val a = c.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = c.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))

@@ -51,7 +51,7 @@ class PlanSpec extends SparkSpec {
     val pages = graft.sources.Pages.generate(spark, 1000)
     val hosts = graft.sources.Pages.hosts(spark)
     val p = plan(Referential.orphans(pages, hosts,
-      ReferentialCheck("r", "host_id", "hosts", "host_id")))
+      ReferentialCheck("r", "host_id", "hosts", "host_id"), "url"))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(800))
   }
 

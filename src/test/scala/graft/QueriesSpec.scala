@@ -58,4 +58,27 @@ class QueriesSpec extends SparkSpec {
     assert(ids.size == graft.operators.Dedup.MaxSampleIds, s"sample capped, got ${ids.size}")
     assert(ids == (1L to graft.operators.Dedup.MaxSampleIds.toLong))
   }
+
+  test("bucket-local self-joins cap the hot bucket (boilerplate corpus)") {
+    import spark.implicits._
+    // 500 identical texts land in ONE simhash bucket; with maxBucket=10
+    // the candidate pairs are bounded at C(10,2), deterministically the
+    // lowest ids — not C(500,2)
+    val hot = (1L to 500L).map(i => (i, "cookie banner accept all cookies please"))
+    val df = (hot ++ Seq((9001L, "totally unrelated text one two three"))).toDF("doc_id", "text")
+    val sim = graft.operators.Dedup.simhashCandidates(df, "doc_id", "text",
+      prefixBits = 8, maxHamming = 0, maxBucket = 10).collect()
+    assert(sim.length == 45, s"expected C(10,2)=45 capped pairs, got ${sim.length}")
+    assert(sim.map(_.getAs[Long]("id_a")).max <= 10)
+    val mh = graft.operators.Dedup.minhashCandidates(df, "doc_id", "text",
+      verifyExact = false, maxBucket = 10)
+      .collect()
+    assert(mh.length == 45, s"minhash band bucket capped, got ${mh.length}")
+    // embedding flavor: identical vectors share a cell
+    val vecs = (1L to 300L).map(i => (i, Array(1.0f, 0.5f, -0.25f))) :+
+      (9002L, Array(-1.0f, 2.0f, 0.0f))
+    val nd = graft.operators.Similarity.cosineNearDups(
+      vecs.toDF("doc_id", "vec"), "doc_id", "vec", threshold = 0.99, maxBucket = 10).collect()
+    assert(nd.length == 45, s"cosine cell capped, got ${nd.length}")
+  }
 }

@@ -44,6 +44,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(s1 == s2 && s1.size == 4)
   }
 
+  test("single-fold signature equals the naive per-seed minhash form") {
+    // the optimized aggregate+zip_with fold must produce exactly the
+    // per-seed array_min values, including the empty-text → nulls case
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "one two", "solo", "").toDF("t")
+    val sh = TextFunctions.shingles($"t", 3)
+    val naive = array((0 until 4).map(s => TextFunctions.minhash(sh, s)): _*)
+    val rows = df.select(TextFunctions.minhashSignature($"t", 3, 4).as("fast"),
+      naive.as("naive")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("identical texts share all minhashes; disjoint texts share none") {
     val df = Seq(("a b c d e f", "a b c d e f", "x y z w v u")).toDF("t1", "t2", "t3")
     val r = df.select(

@@ -217,6 +217,46 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(v.nonEmpty && v.forall(_.getAs[String]("metric") == "chisq_fallback_one_vs_rest"))
   }
 
+  test("holmPooled reproduces the reference's pooled multtest family (Categorical_Check.sas:435-466)") {
+    // 3 groups → 3 one-vs-rest ('Stacked') + 3 pairwise ('Heat') p-values
+    // pooled into ONE Holm family per panel; expected adjustment computed
+    // independently from the raw p-values with plain-Scala Holm
+    val rows =
+      Seq.fill(40)(("A", "x")) ++ Seq.fill(25)(("A", "y")) ++
+      Seq.fill(25)(("B", "x")) ++ Seq.fill(40)(("B", "y")) ++
+      Seq.fill(33)(("C", "x")) ++ Seq.fill(32)(("C", "y"))
+    val df = rows.toDF("site", "resp")
+    val check = CategoricalConsistencyCheck("hp", "resp", "site",
+      pairwise = true, holmPooled = true)
+    val sRaw = CategoricalConsistency.tests(df, check).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("p_raw")).toMap
+    val hRaw = CategoricalConsistency.pairwiseTests(df, check).collect()
+      .map(r => (r.getAs[String]("grp1"), r.getAs[String]("grp2")) -> r.getAs[Double]("p_raw")).toMap
+    // pooled family: deterministic order for the expected computation
+    val ids = sRaw.keys.toSeq.sorted.map(Left(_): Either[String, (String, String)]) ++
+      hRaw.keys.toSeq.sorted.map(Right(_): Either[String, (String, String)])
+    val ps = ids.map { case Left(g) => sRaw(g); case Right(p) => hRaw(p) }
+    val expected = ids.zip(graft.stats.Holm.adjust(ps)).toMap
+    val (gotS, gotH) = CategoricalConsistency.pooledTests(df, check)
+    gotS.collect().foreach { r =>
+      val g = r.getAs[String]("grp")
+      assert(math.abs(r.getAs[Double]("p_holm") - expected(Left(g))) < 1e-12, s"stacked $g")
+    }
+    gotH.collect().foreach { r =>
+      val p = (r.getAs[String]("grp1"), r.getAs[String]("grp2"))
+      assert(math.abs(r.getAs[Double]("p_holm") - expected(Right(p))) < 1e-12, s"heat $p")
+    }
+    // and the pooled adjustment differs from the separate-family one for
+    // at least one row (i.e. the option is not a no-op on this fixture)
+    val sep = CategoricalConsistency.tests(df, check).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Double]("p_holm")).toMap
+    assert(gotS.collect().exists(r =>
+      math.abs(r.getAs[Double]("p_holm") - sep(r.getAs[String]("grp"))) > 1e-15))
+    // verdict surface carries the pooled values
+    val v = CategoricalConsistency.verdicts(df, check).collect()
+    assert(v.nonEmpty)
+  }
+
   test("_All_ overall bar emitted per panel (Categorical_Check.sas:317-340)") {
     val rows = Seq.fill(60)(("A", "x")) ++ Seq.fill(40)(("A", "y")) ++
       Seq.fill(30)(("B", "x")) ++ Seq.fill(70)(("B", "y"))
@@ -418,7 +458,7 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(!uq.getAs[Boolean]("pass") && uq.getAs[Double]("stat") == 2.0)
     val hosts = Seq("h1", "h2").toDF("host_ok")
     val rc = ReferentialCheck("r", "host", "hosts", "host_ok")
-    val rv = Referential.verdicts(df, hosts, rc).collect()(0)
+    val rv = Referential.verdicts(df, hosts, rc, "url").collect()(0)
     assert(!rv.getAs[Boolean]("pass") && rv.getAs[Double]("stat") == 1.0)
     val orphans = Referential.violations(df, hosts, rc, "url").collect()
     assert(orphans.map(_.getAs[String]("key")).toSeq == Seq("u3"))
