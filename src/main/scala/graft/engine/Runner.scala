@@ -53,36 +53,66 @@ object Runner {
         ColumnStats.verdicts(profiled, cs)
     }
 
-    // Fuse uniqueness + byte-identity phase 1 when they audit the same key:
-    // both first phases are a full-table groupBy(xxhash64(key)); KeyScan
-    // runs it ONCE and both checks' phase 2 consume the shared candidates.
+    // Fuse uniqueness + byte-identity when they audit the same key: both
+    // first phases are a full-table groupBy(xxhash64(key)) — KeyScan runs
+    // it ONCE — and because divergent-digest buckets necessarily hold >1
+    // row, ONE fused phase 2 (semi-join + exact groupBy(key) emitting
+    // dup_count AND distinct-digest count) serves both checks' second
+    // phase too: 4 full input scans become 2.
     val byteChecks = checks.collect { case c: ByteIdentityCheck => c }
     val fused: Map[String, (UniquenessCheck, ByteIdentityCheck, DataFrame)] =
       checks.collect {
         case u: UniquenessCheck =>
           byteChecks.collectFirst {
             case b if b.scope.isEmpty && (u.scope ++ u.keys).distinct == Seq(b.keyCol) =>
-              (u.id, (u, b, KeyScan.phase1(input, Seq(b.keyCol), b.column)))
+              val p1 = KeyScan.phase1(input, Seq(b.keyCol), b.column)
+              (u.id, (u, b, KeyScan.phase2(input, Seq(b.keyCol), b.column, p1)))
           }
       }.flatten.toMap
-    def uniqCand(c: UniquenessCheck): Option[DataFrame] =
-      fused.get(c.id).map { case (_, _, p1) => KeyScan.uniqueCandidates(p1) }
-    def byteCand(c: ByteIdentityCheck): Option[DataFrame] =
-      fused.values.collectFirst { case (_, b, p1) if b.id == c.id => KeyScan.byteCandidates(p1) }
+    def uniqShared(c: UniquenessCheck): Option[DataFrame] =
+      fused.get(c.id).map { case (_, _, p2) => p2 }
+    def byteShared(c: ByteIdentityCheck): Option[DataFrame] =
+      fused.values.collectFirst { case (_, b, p2) if b.id == c.id => p2 }
+
+    // Fuse the count-based families (categorical / digit-preference /
+    // drift): each is a `filter → derive keys → groupBy.count` over the
+    // full input, so ≥2 of them become ONE CellScan pass + ONE shuffle.
+    // Drift's bin edges ride the scan base as broadcast columns.
+    val catChecks = checks.collect { case c: CategoricalConsistencyCheck => c }
+    val digChecks = checks.collect { case c: DigitPreferenceCheck => c }
+    val drChecks = checks.collect { case c: DriftCheck => c }
+    val cellPre: Map[String, DataFrame] =
+      if (catChecks.size + digChecks.size + drChecks.size < 2) Map.empty
+      else {
+        var base = input
+        val drFams = drChecks.zipWithIndex.map { case (c, i) =>
+          val (mn, w) = (s"__dr${i}_mn", s"__dr${i}_w")
+          base = base.crossJoin(broadcast(Drift.edges(input, c, mn, w)))
+          c.id -> Drift.cellFamily(c, mn, w)
+        }
+        val fams = catChecks.map(c => c.id -> CategoricalConsistency.cellFamily(c)) ++
+          digChecks.map(c => c.id -> DigitPreference.cellFamily(c)) ++ drFams
+        val counts = CellScan.counts(base, fams.map(_._2))
+        fams.zipWithIndex.map { case ((id, _), i) =>
+          id -> CellScan.slice(counts, i, fams.map(_._2))
+        }.toMap
+      }
 
     val others: Seq[(DataFrame, DataFrame)] = checks.collect {
       case c: UniquenessCheck =>
-        (Uniqueness.verdicts(input, c, uniqCand(c)),
-          Uniqueness.violations(input, c, candidates = uniqCand(c)))
+        (Uniqueness.verdicts(input, c, shared = uniqShared(c)),
+          Uniqueness.violations(input, c, shared = uniqShared(c)))
       case c: ReferentialCheck =>
         val ref = suite.refTables.getOrElse(c.refTable,
           throw new IllegalArgumentException(s"missing refTable ${c.refTable}"))
         (Referential.verdicts(input, ref, c, suite.keyCol),
           Referential.violations(input, ref, c, suite.keyCol))
       case c: CategoricalConsistencyCheck =>
-        (CategoricalConsistency.verdicts(input, c), CategoricalConsistency.violations(input, c))
+        (CategoricalConsistency.verdicts(input, c, cellPre.get(c.id)),
+          CategoricalConsistency.violations(input, c, cellPre.get(c.id)))
       case c: DigitPreferenceCheck =>
-        (DigitPreference.verdicts(input, c), DigitPreference.violations(input, c))
+        (DigitPreference.verdicts(input, c, cellPre.get(c.id)),
+          DigitPreference.violations(input, c, cellPre.get(c.id)))
       case c: GroupVarianceCheck =>
         (GroupVariance.verdicts(input, c), GroupVariance.violations(input, c))
       case c: RegressionOutlierCheck =>
@@ -90,10 +120,11 @@ object Runner {
       case c: LongitudinalOutlierCheck =>
         (LongitudinalOutlier.verdicts(input, c), LongitudinalOutlier.violations(input, c))
       case c: DriftCheck =>
-        (Drift.verdicts(input, c), Drift.violations(input, c))
+        (Drift.verdicts(input, c, cellPre.get(c.id)),
+          Drift.violations(input, c, cellPre.get(c.id)))
       case c: ByteIdentityCheck =>
-        (ByteIdentity.verdicts(input, c, byteCand(c)),
-          ByteIdentity.violations(input, c, candidates = byteCand(c)))
+        (ByteIdentity.verdicts(input, c, shared = byteShared(c)),
+          ByteIdentity.violations(input, c, shared = byteShared(c)))
     }
 
     val verdicts = (statsResults ++ others.map(_._1))

@@ -33,22 +33,29 @@ object ByteIdentity {
       .select("__kh")
 
   /** Exact conflicts (phase 2): keys whose payload bytes diverge.
-    * @param candidates pre-computed phase-1 buckets (fused KeyScan). */
+    * @param candidates pre-computed phase-1 buckets (fused KeyScan).
+    * @param shared pre-computed fused phase-2 frame (KeyScan.phase2) keyed
+    *               by this check's keyCol — skips the input re-scan. */
   def conflicts(df: DataFrame, check: ByteIdentityCheck,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val subset = df
-      .withColumn("__kh", xxhash64(col(check.keyCol)))
-      .join(candidates.getOrElse(candidateHashes(df, check)), Seq("__kh"), "left_semi")
-    subset.groupBy(col(check.keyCol))
-      .agg(countDistinct(sha2(col(check.column).cast("binary"), 256)).as("n_digests"),
-        count(lit(1)).as("n_rows"))
-      .filter(col("n_digests") > 1)
-      .cache() // tiny (conflicting keys only); verdicts + violations share it
+      candidates: Option[DataFrame] = None,
+      shared: Option[DataFrame] = None): DataFrame = shared match {
+    case Some(p2) => p2.filter(col("n_digests") > 1)
+      .select(col(check.keyCol), col("n_digests"), col("dup_count").as("n_rows"))
+    case None =>
+      val subset = df
+        .withColumn("__kh", xxhash64(col(check.keyCol)))
+        .join(candidates.getOrElse(candidateHashes(df, check)), Seq("__kh"), "left_semi")
+      subset.groupBy(col(check.keyCol))
+        .agg(countDistinct(sha2(col(check.column).cast("binary"), 256)).as("n_digests"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_digests") > 1)
+        .cache() // tiny (conflicting keys only); verdicts + violations share it
   }
 
   def verdicts(df: DataFrame, check: ByteIdentityCheck,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val framed = conflicts(df, check, candidates).groupBy().agg(
+      candidates: Option[DataFrame] = None,
+      shared: Option[DataFrame] = None): DataFrame = {
+    val framed = conflicts(df, check, candidates, shared).groupBy().agg(
       coalesce(count(lit(1)), lit(0L)).as("bad_keys")).select(
       lit("").as("partition"),
       lit("keys_with_divergent_bytes").as("metric"),
@@ -60,8 +67,9 @@ object ByteIdentity {
   }
 
   def violations(df: DataFrame, check: ByteIdentityCheck, limit: Int = 10000,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val v = conflicts(df, check, candidates).limit(limit).select(
+      candidates: Option[DataFrame] = None,
+      shared: Option[DataFrame] = None): DataFrame = {
+    val v = conflicts(df, check, candidates, shared).limit(limit).select(
       col(check.keyCol).cast("string").as("key"),
       lit("").as("partition"),
       col("n_digests").cast("string").as("observed"),

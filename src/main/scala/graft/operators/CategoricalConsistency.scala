@@ -26,32 +26,45 @@ import org.apache.spark.sql.functions._
   */
 object CategoricalConsistency {
 
+  private def panelExpr(check: CategoricalConsistencyCheck) = check.dateCol match {
+    case Some(dc) => PanelBins.panel(col(dc), check.interval)
+    case None => lit("_ALL_")
+  }
+
+  /** This check's slice of the fused multi-family cell scan (CellScan):
+    * same filter + key derivations as the standalone counts pass below. */
+  def cellFamily(check: CategoricalConsistencyCheck): CellScan.Family =
+    CellScan.Family(
+      col(check.valueCol).isNotNull && col(check.groupCol).isNotNull,
+      check.scope.map(s => s -> col(s)) ++ Seq(
+        "panel" -> panelExpr(check),
+        "grp" -> col(check.groupCol),
+        "value" -> col(check.valueCol)))
+
   /** Contingency cells with one-vs-rest margins, zero-filled.
     * Output grain: (scopeCols..., panel, grp, value) with cnt, grp_total,
     * panel_value_total, panel_total.
+    * @param pre pre-aggregated (scope..., panel, grp, value, cnt) counts
+    *            from the fused CellScan — skips this check's own input scan.
     */
-  def cells(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
-    val panelCol = check.dateCol match {
-      case Some(dc) => PanelBins.panel(col(dc), check.interval)
-      case None => lit("_ALL_")
-    }
-    val scopeCols = check.scope
-    val keyCols = scopeCols :+ "panel"
-    val base = df
-      .filter(col(check.valueCol).isNotNull && col(check.groupCol).isNotNull)
-      .withColumn("panel", panelCol)
-      .select((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
+  def cells(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val keyCols = check.scope :+ "panel"
     // cache the reduced counts frame (panels × groups × categories rows —
     // tiny at any input scale): the shell domains, fill join, tests and
     // violations all reuse it, so the 10^12-row aggregation runs ONCE.
     // Spark's cache manager dedups identical plans, so verdicts+violations
     // share this cache across separate calls.
-    val counts = base
-      .groupBy((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
-      .withColumnRenamed(check.groupCol, "grp")
-      .withColumnRenamed(check.valueCol, "value")
-      .cache()
+    val counts = pre.getOrElse {
+      df.filter(col(check.valueCol).isNotNull && col(check.groupCol).isNotNull)
+        .withColumn("panel", panelExpr(check))
+        .select((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
+        .groupBy((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed(check.groupCol, "grp")
+        .withColumnRenamed(check.valueCol, "value")
+        .cache()
+    }
     // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6)
     val grpDom = counts.select((keyCols :+ "grp").map(col): _*).distinct()
     val valDom = counts.select((keyCols :+ "value").map(col): _*).distinct()
@@ -70,15 +83,17 @@ object CategoricalConsistency {
   /** Per-(panel, grp) one-vs-rest test results: chi-square / Freeman–Halton
     * Fisher on the full table, raw p, Holm-adjusted p within panel.
     */
-  def tests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame =
-    holmWithinPanel(oneVsRestRaw(df, check), check.scope :+ "panel")
+  def tests(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame =
+    holmWithinPanel(oneVsRestRaw(df, check, pre), check.scope :+ "panel")
 
   /** One-vs-rest frame with raw p-values, BEFORE the Holm adjustment —
     * the multtest input rows the reference tags plot='Stacked'
     * (Categorical_Check.sas:435-441). */
-  private[operators] def oneVsRestRaw(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  private[operators] def oneVsRestRaw(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
-    val c = cells(df, check)
+    val c = cells(df, check, pre)
     // one-vs-rest 2×C cells: o1 = cnt, o2 = panel_value_total - cnt
     // expected under homogeneity: e1 = grp_total * pvt / N, e2 = (N-grp_total) * pvt / N
     val withE = c
@@ -143,15 +158,17 @@ object CategoricalConsistency {
     * consumable — `holmPooled=true` reproduces the reference's exact
     * pooled multtest family instead (`pooledTests`, :435-466).
     */
-  def pairwiseTests(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame =
-    holmWithinPanel(pairwiseRaw(df, check), check.scope :+ "panel")
+  def pairwiseTests(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame =
+    holmWithinPanel(pairwiseRaw(df, check, pre), check.scope :+ "panel")
 
   /** Pairwise frame with raw p-values, BEFORE the Holm adjustment — the
     * multtest input rows the reference tags plot='Heat'
     * (Categorical_Check.sas:435-448). */
-  private[operators] def pairwiseRaw(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  private[operators] def pairwiseRaw(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
-    val c = cells(df, check)
+    val c = cells(df, check, pre)
       .filter(col("grp_total") > check.minNum)
       .select((keyCols.map(col) :+ col("grp") :+ col("value") :+
         col("cnt") :+ col("grp_total")): _*)
@@ -220,11 +237,12 @@ object CategoricalConsistency {
     *
     * Both input frames are products of the same cached cells frame, so
     * pooling adds no input scan — just one more reduced-frame union. */
-  def pooledTests(df: DataFrame, check: CategoricalConsistencyCheck): (DataFrame, DataFrame) = {
+  def pooledTests(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val keyCols = check.scope :+ "panel"
     val kc = keyCols.map(col)
-    val stacked = oneVsRestRaw(df, check)
-    val heat = pairwiseRaw(df, check)
+    val stacked = oneVsRestRaw(df, check, pre)
+    val heat = pairwiseRaw(df, check, pre)
     val sNorm = stacked.select(kc :+ lit("stacked").as("family") :+
       col("grp").cast("string").as("id1") :+ lit(null).cast("string").as("id2") :+
       col("p_raw"): _*)
@@ -246,9 +264,10 @@ object CategoricalConsistency {
   /** The reference's `_All_` overall bar (Categorical_Check.sas:317-340):
     * per panel, the all-groups-combined distribution of `valueCol` with
     * row percents. Rides the cached counts frame — no extra input scan. */
-  def overallBar(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  def overallBar(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
-    cells(df, check)
+    cells(df, check, pre)
       .select((keyCols.map(col) :+ col("value") :+
         col("panel_value_total") :+ col("panel_total")): _*)
       .distinct() // cells grain is (…, grp, value); totals repeat per grp
@@ -275,12 +294,13 @@ object CategoricalConsistency {
       .select((keyCols.map(col) :+ col("z.rows.*") :+ col("z.adj").as("p_holm")): _*)
   }
 
-  def verdicts(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  def verdicts(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     // holmPooled reproduces the reference's exact multtest family (one-vs-
     // rest + pairwise pooled per panel, :435-466); otherwise each surface
     // is adjusted within its own family
-    val pooled = if (check.pairwise && check.holmPooled) Some(pooledTests(df, check)) else None
-    val t = pooled.map(_._1).getOrElse(tests(df, check))
+    val pooled = if (check.pairwise && check.holmPooled) Some(pooledTests(df, check, pre)) else None
+    val t = pooled.map(_._1).getOrElse(tests(df, check, pre))
     val framed = t.select(
       concat_ws("/",
         (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
@@ -308,7 +328,7 @@ object CategoricalConsistency {
         col("n_panel").cast("long").as("n_obs"),
         lit(true).as("pass"))
     val pair = if (!check.pairwise) None else Some {
-      pooled.map(_._2).getOrElse(pairwiseTests(df, check)).select(
+      pooled.map(_._2).getOrElse(pairwiseTests(df, check, pre)).select(
         concat_ws("/",
           (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
             Seq(concat(lit("panel="), col("panel")),
@@ -327,14 +347,15 @@ object CategoricalConsistency {
 
   /** Violation rows: for every failing (panel, grp), its worst-deviating
     * category with observed vs expected row-percent. */
-  def violations(df: DataFrame, check: CategoricalConsistencyCheck): DataFrame = {
+  def violations(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
     val base =
-      if (check.pairwise && check.holmPooled) pooledTests(df, check)._1
-      else tests(df, check)
+      if (check.pairwise && check.holmPooled) pooledTests(df, check, pre)._1
+      else tests(df, check, pre)
     val t = base.filter(col("p_holm") < check.alphaBar)
       .select((keyCols :+ "grp").map(col) :+ col("p_holm"): _*)
-    val c = cells(df, check)
+    val c = cells(df, check, pre)
       .withColumn("dev",
         when(col("grp_total") > 0 && col("panel_value_total") > 0,
           abs(col("cnt") / col("grp_total") -

@@ -45,24 +45,40 @@ object DigitPreference {
     else when(numdec < placeDecimals && raw === 0, lit(-1)).otherwise(raw.cast("int")).cast("int")
   }
 
+  private def panelExpr(check: DigitPreferenceCheck) = check.dateCol match {
+    case Some(dc) => PanelBins.panel(col(dc), check.interval)
+    case None => lit("_ALL_")
+  }
+
+  /** This check's slice of the fused multi-family cell scan (CellScan):
+    * same filter + key derivations as the standalone counts pass below. */
+  def cellFamily(check: DigitPreferenceCheck): CellScan.Family =
+    CellScan.Family(
+      col(check.column).isNotNull && col(check.groupCol).isNotNull,
+      check.scope.map(s => s -> col(s)) ++ Seq(
+        "panel" -> panelExpr(check),
+        "grp" -> col(check.groupCol).cast("string"),
+        "digit" -> digitAt(col(check.column).cast("double"), check.place)))
+
   /** (scope, panel, grp, digit) counts with group totals — zero-filled over
-    * the fixed digit domain −1..9 (DigitPref.sas:253-257). */
-  def digitCounts(df: DataFrame, check: DigitPreferenceCheck): DataFrame = {
-    val panelCol = check.dateCol match {
-      case Some(dc) => PanelBins.panel(col(dc), check.interval)
-      case None => lit("_ALL_")
-    }
+    * the fixed digit domain −1..9 (DigitPref.sas:253-257).
+    * @param pre pre-aggregated (scope..., panel, grp, digit, cnt) counts
+    *            from the fused CellScan — skips this check's own input scan.
+    */
+  def digitCounts(df: DataFrame, check: DigitPreferenceCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel" :+ "grp"
-    val base = df
-      .filter(col(check.column).isNotNull && col(check.groupCol).isNotNull)
-      .withColumn("panel", panelCol)
-      .withColumn("grp", col(check.groupCol).cast("string"))
-      .withColumn("digit", digitAt(col(check.column).cast("double"), check.place))
     // cached: ≤ 11 rows per (scope, panel, group); reused by the domain
     // shell, the tests and the violations lineages (one row-level pass)
-    val counts = base.groupBy((keyCols :+ "digit").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
-      .cache()
+    val counts = pre.getOrElse {
+      df.filter(col(check.column).isNotNull && col(check.groupCol).isNotNull)
+        .withColumn("panel", panelExpr(check))
+        .withColumn("grp", col(check.groupCol).cast("string"))
+        .withColumn("digit", digitAt(col(check.column).cast("double"), check.place))
+        .groupBy((keyCols :+ "digit").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+    }
     // fixed digit domain: explode literal array — no extra scan
     val dom = counts.select(keyCols.map(col): _*).distinct()
       .withColumn("digit", explode(lit((-1 to 9).toArray)))
@@ -72,9 +88,10 @@ object DigitPreference {
 
   /** Per-(scope, panel, grp) test frame: GOF chi-square (digits 0-9 vs
     * uniform), none-share %, flags. */
-  def tests(df: DataFrame, check: DigitPreferenceCheck): DataFrame = {
+  def tests(df: DataFrame, check: DigitPreferenceCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel" :+ "grp"
-    val dc = digitCounts(df, check)
+    val dc = digitCounts(df, check, pre)
     val perGrp = dc.groupBy(keyCols.map(col): _*).agg(
       sum(when(col("digit") >= 0, col("cnt")).otherwise(0L)).as("n_gof"),
       sum(col("cnt")).as("n_total"),
@@ -96,8 +113,9 @@ object DigitPreference {
       .withColumn("pass", !(col("flag_gof") || col("flag_none")))
   }
 
-  def verdicts(df: DataFrame, check: DigitPreferenceCheck): DataFrame = {
-    val t = tests(df, check)
+  def verdicts(df: DataFrame, check: DigitPreferenceCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val t = tests(df, check, pre)
     val framed = t.select(
       partitionOf(check), lit("digit_gof_chisq").as("metric"),
       col("gof_stat").as("stat"), col("gof_p").as("p_value"),
@@ -119,11 +137,12 @@ object DigitPreference {
           concat(lit("grp="), col("grp")))): _*).as("partition")
 
   /** Violations: failing groups with their most-preferred digit. */
-  def violations(df: DataFrame, check: DigitPreferenceCheck): DataFrame = {
+  def violations(df: DataFrame, check: DigitPreferenceCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel" :+ "grp"
-    val failing = tests(df, check).filter(!col("pass"))
+    val failing = tests(df, check, pre).filter(!col("pass"))
       .select((keyCols.map(col) :+ col("gof_p") :+ col("none_pct")): _*)
-    val dc = digitCounts(df, check).filter(col("digit") >= 0)
+    val dc = digitCounts(df, check, pre).filter(col("digit") >= 0)
     val joined = dc.join(failing, keyCols)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("cnt").desc, col("digit"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.checks.{DriftCheck, Results}
 import graft.stats.Distributions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,22 +18,55 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** Histogram cells: (scope..., panel, bin, cnt) with margins. */
-  def histogram(df: DataFrame, check: DriftCheck): DataFrame = {
+  /** One-row bin-edge frame (min + bin width), named by the caller so
+    * several drift checks can ride one adorned scan base. Lazy — meant to
+    * be crossJoin(broadcast(_))-ed, never collected (a driver collect here
+    * would run a blocking full scan at plan-build time, twice per suite
+    * run: verdicts + violations construct separate plans). */
+  def edges(df: DataFrame, check: DriftCheck,
+      mnName: String = "__mn", wName: String = "__w"): DataFrame = {
     val v = col(check.column).cast("double")
-    val base0 = df.filter(v.isNotNull && !isnan(v))
-    // global bin edges — single scalar agg, broadcast as literals
-    val Array(mn, mx) = base0.agg(min(v), max(v)).collect()(0) match {
-      case r => Array(r.getDouble(0), r.getDouble(1))
-    }
-    val width = if (mx > mn) (mx - mn) / check.bins else 1.0
-    val binCol = least(greatest(floor((v - mn) / width), lit(0.0)), lit((check.bins - 1).toDouble)).cast("int")
+    df.filter(v.isNotNull && !isnan(v))
+      .agg(min(v).as(mnName), max(v).as("__mx"))
+      .select(col(mnName),
+        when(col("__mx") > col(mnName), (col("__mx") - col(mnName)) / check.bins)
+          .otherwise(1.0).as(wName))
+  }
+
+  /** Bin index from broadcast edge columns. */
+  private def binExpr(check: DriftCheck, v: Column, mn: Column, w: Column): Column =
+    least(greatest(floor((v - mn) / w), lit(0.0)),
+      lit((check.bins - 1).toDouble)).cast("int")
+
+  /** This check's slice of the fused multi-family cell scan (CellScan).
+    * The scan base must carry this check's broadcast edge columns
+    * (crossJoin(broadcast(edges(df, check, mnName, wName)))). */
+  def cellFamily(check: DriftCheck, mnName: String, wName: String): CellScan.Family = {
+    val v = col(check.column).cast("double")
+    CellScan.Family(
+      v.isNotNull && !isnan(v),
+      check.scope.map(s => s -> col(s)) ++ Seq(
+        "panel" -> PanelBins.panel(col(check.dateCol), check.interval),
+        "bin" -> binExpr(check, v, col(mnName), col(wName))))
+  }
+
+  /** Histogram cells: (scope..., panel, bin, cnt) with margins.
+    * @param pre pre-aggregated (scope..., panel, bin, cnt) counts from the
+    *            fused CellScan — skips this check's own input scan. */
+  def histogram(df: DataFrame, check: DriftCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val v = col(check.column).cast("double")
     val keyCols = check.scope :+ "panel"
-    val counts = base0
-      .withColumn("panel", PanelBins.panel(col(check.dateCol), check.interval))
-      .withColumn("bin", binCol)
-      .groupBy((keyCols :+ "bin").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val counts = pre.getOrElse {
+      val base0 = df.filter(v.isNotNull && !isnan(v))
+      val e = edges(df, check)
+      base0
+        .crossJoin(broadcast(e))
+        .withColumn("panel", PanelBins.panel(col(check.dateCol), check.interval))
+        .withColumn("bin", binExpr(check, v, col("__mn"), col("__w")))
+        .groupBy((keyCols :+ "bin").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+    }
     // zero-fill over the full bin domain per (scope, panel) — like the
     // categorical shell join (J6): a bin empty in one window but populated
     // in the rest must contribute its (0−e)²/e term, its mass to the KS
@@ -47,9 +80,10 @@ object Drift {
   }
 
   /** Per-(scope, panel) drift tests vs pooled rest. */
-  def tests(df: DataFrame, check: DriftCheck): DataFrame = {
+  def tests(df: DataFrame, check: DriftCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
-    val h = histogram(df, check)
+    val h = histogram(df, check, pre)
     val wScope = Window.partitionBy(check.scope.map(col): _*)
     val wScopeBin = Window.partitionBy((check.scope :+ "bin").map(col): _*)
     val wPanel = Window.partitionBy(keyCols.map(col): _*)
@@ -91,8 +125,9 @@ object Drift {
     }
   }
 
-  def verdicts(df: DataFrame, check: DriftCheck): DataFrame = {
-    val t = tests(df, check)
+  def verdicts(df: DataFrame, check: DriftCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val t = tests(df, check, pre)
     val framed = t.select(
       concat_ws("/",
         (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) :+
@@ -106,8 +141,9 @@ object Drift {
     Results.toVerdicts(framed, check.id, check.severity)
   }
 
-  def violations(df: DataFrame, check: DriftCheck): DataFrame = {
-    val t = tests(df, check).filter(!col("pass"))
+  def violations(df: DataFrame, check: DriftCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val t = tests(df, check, pre).filter(!col("pass"))
     val v = t.select(
       col("panel").as("key"),
       concat_ws("/",

@@ -36,4 +36,28 @@ object KeyScan {
   /** Byte-identity phase-2 input: buckets whose payload digests diverge. */
   def byteCandidates(phase1: DataFrame): DataFrame =
     phase1.filter(col("__a") =!= col("__b")).select("__kh")
+
+  /** Fused phase 2: because a divergent-digest bucket necessarily has >1
+    * row, byteCandidates ⊆ uniqueCandidates — so ONE semi-join on the
+    * phase-1 candidates and ONE exact groupBy(key) serves both checks'
+    * second phase (run separately that is two full input scans + two
+    * shuffles):
+    *
+    *   (key..., dup_count, n_digests) for every key with dup_count > 1
+    *
+    * dup_count is Uniqueness's exact per-key count (hash-collision rows
+    * land in a candidate bucket but group to dup_count = 1 here and are
+    * filtered — same exactness argument as the unfused phase 2);
+    * n_digests counts distinct full sha2-256 payload digests, so a
+    * reported byte conflict is never a 64-bit-hash artifact. Cached —
+    * verdicts + violations of both checks reuse it. */
+  def phase2(df: DataFrame, keyCols: Seq[String], payloadCol: String,
+      p1: DataFrame): DataFrame =
+    df.withColumn("__kh", xxhash64(keyCols.map(col): _*))
+      .join(p1.select("__kh"), Seq("__kh"), "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"),
+        countDistinct(sha2(col(payloadCol).cast("binary"), 256)).as("n_digests"))
+      .filter(col("dup_count") > 1)
+      .cache()
 }

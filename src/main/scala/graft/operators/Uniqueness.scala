@@ -36,22 +36,31 @@ object Uniqueness {
 
   /** Exact per-duplicate-key frame: keys, scope, dup count — phase 2.
     * @param candidates pre-computed phase-1 hash buckets (e.g. the fused
-    *                   KeyScan); defaults to this check's own phase 1. */
+    *                   KeyScan); defaults to this check's own phase 1.
+    * @param shared pre-computed fused phase-2 frame (KeyScan.phase2) whose
+    *               key columns equal this check's (scope ++ keys) — skips
+    *               this check's own input re-scan entirely. */
   def duplicateKeys(df: DataFrame, check: UniquenessCheck,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      shared: Option[DataFrame] = None): DataFrame = {
     val groupCols = (check.scope ++ check.keys).distinct
-    val subset = df
-      .withColumn("__kh", keyHash(check))
-      .join(candidates.getOrElse(candidateHashes(df, check)), Seq("__kh"), "left_semi")
-    subset.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("dup_count"))
-      .filter(col("dup_count") > 1)
-      .cache() // tiny (duplicate keys only); verdicts + violations share it
+    shared match {
+      case Some(p2) => p2.select((groupCols :+ "dup_count").map(col): _*)
+      case None =>
+        val subset = df
+          .withColumn("__kh", keyHash(check))
+          .join(candidates.getOrElse(candidateHashes(df, check)), Seq("__kh"), "left_semi")
+        subset.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("dup_count"))
+          .filter(col("dup_count") > 1)
+          .cache() // tiny (duplicate keys only); verdicts + violations share it
+    }
   }
 
   def verdicts(df: DataFrame, check: UniquenessCheck,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val dups = duplicateKeys(df, check, candidates)
+      candidates: Option[DataFrame] = None,
+      shared: Option[DataFrame] = None): DataFrame = {
+    val dups = duplicateKeys(df, check, candidates, shared)
     val scoped =
       if (check.scope.isEmpty) dups.groupBy()
       else dups.groupBy(check.scope.map(col): _*)
@@ -71,8 +80,9 @@ object Uniqueness {
   }
 
   def violations(df: DataFrame, check: UniquenessCheck, limit: Int = 10000,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val v = duplicateKeys(df, check, candidates).limit(limit).select(
+      candidates: Option[DataFrame] = None,
+      shared: Option[DataFrame] = None): DataFrame = {
+    val v = duplicateKeys(df, check, candidates, shared).limit(limit).select(
       concat_ws("|", check.keys.map(c => col(c).cast("string")): _*).as("key"),
       Results.partitionString(check.scope).as("partition"),
       col("dup_count").cast("string").as("observed"),

@@ -421,12 +421,14 @@ object StatQueries {
       (s, dir) => {
         val ev = read(s, dir, "events").filter(col("value").isNotNull)
           .withColumn("panel", PanelBins.panel(col("ts"), "quarter"))
-        val Array(mn, mx) = ev.agg(min("value"), max("value")).collect()(0) match {
-          case r => Array(r.getDouble(0), r.getDouble(1))
-        }
-        val width = if (mx > mn) (mx - mn) / 10 else 1.0
-        val binned = ev.withColumn("bin",
-          least(greatest(floor((col("value") - mn) / width), lit(0.0)), lit(9.0)).cast("int"))
+        // lazy broadcast edges (no blocking driver collect) — mirrors the
+        // oracle's `FROM ev, mm` cross join and the Drift operator's plan
+        val mm = ev.agg(min("value").as("__mn"), max("value").as("__mx"))
+          .select(col("__mn"),
+            when(col("__mx") > col("__mn"), (col("__mx") - col("__mn")) / 10)
+              .otherwise(1.0).as("__w"))
+        val binned = ev.crossJoin(broadcast(mm)).withColumn("bin",
+          least(greatest(floor((col("value") - col("__mn")) / col("__w")), lit(0.0)), lit(9.0)).cast("int"))
           .groupBy("panel", "bin").agg(count(lit(1)).as("cnt"))
         val wBin = Window.partitionBy("bin")
         val wPanel = Window.partitionBy("panel")

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.checks._
+import graft.queries.Flagship
+import graft.sources.Pages
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fused multi-family cell scan ≡ each family's standalone pass: the
+  * CellScan fusion changes cost (one input scan instead of three), never
+  * results. Exercised over the synthetic pages table with every planted
+  * anomaly active, comparing whole test frames row-set-exactly.
+  */
+class CellScanSpec extends SparkSpec {
+
+  private val cat = CategoricalConsistencyCheck("lang_consistency", "lang", "host_bucket",
+    dateCol = Some("warc_ts"), interval = "quarter", alphaBar = 0.05)
+  private val dig = DigitPreferenceCheck("score_digits", "score", place = 0.1,
+    groupCol = "host_id", alpha = 1e-4, minNum = 50)
+  private val dr = DriftCheck("score_drift", "score", "warc_ts", interval = "quarter", alpha = 0.001)
+
+  private def fusedSlices(df: DataFrame): Map[String, DataFrame] = {
+    val base = df.crossJoin(broadcast(Drift.edges(df, dr, "__dr0_mn", "__dr0_w")))
+    val fams = Seq(
+      "cat" -> CategoricalConsistency.cellFamily(cat),
+      "dig" -> DigitPreference.cellFamily(dig),
+      "dr" -> Drift.cellFamily(dr, "__dr0_mn", "__dr0_w"))
+    val counts = CellScan.counts(base, fams.map(_._2))
+    fams.zipWithIndex.map { case ((id, _), i) =>
+      id -> CellScan.slice(counts, i, fams.map(_._2))
+    }.toMap
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq, s"$what columns")
+    val onlyA = a.exceptAll(b).count()
+    val onlyB = b.exceptAll(a).count()
+    assert(onlyA == 0 && onlyB == 0, s"$what differs: $onlyA rows only-fused, $onlyB only-standalone")
+    assert(a.count() > 0, s"$what empty — vacuous comparison")
+  }
+
+  test("fused CellScan ≡ standalone categorical/digit/drift test frames") {
+    val df = Pages.generate(spark, 20000, numPartitions = 8).cache()
+    val pre = fusedSlices(df)
+    assertSameRows(
+      CategoricalConsistency.tests(df, cat, pre.get("cat")).drop("p_holm"),
+      CategoricalConsistency.tests(df, cat).drop("p_holm"), "categorical tests")
+    assertSameRows(
+      DigitPreference.tests(df, dig, pre.get("dig")),
+      DigitPreference.tests(df, dig), "digit tests")
+    assertSameRows(
+      Drift.tests(df, dr, pre.get("dr")),
+      Drift.tests(df, dr), "drift tests")
+    df.unpersist()
+  }
+
+  test("Runner suite (fusion active) still flags every planted anomaly") {
+    val res = graft.engine.Runner.run(Pages.generate(spark, 20000, numPartitions = 8),
+      Flagship.suite(spark))
+    val failing = res.verdicts.filter(!col("pass"))
+      .select("check_id").distinct().collect().map(_.getString(0)).toSet
+    // planted: duplicates, orphan hosts, shifted lang panel, digit cluster
+    assert(Set("unique_url", "host_registered", "lang_consistency", "score_digits")
+      .subsetOf(failing), s"missing flags: got $failing")
+  }
+}

@@ -490,6 +490,31 @@ class OperatorGoldenSpec extends SparkSpec {
     p1.unpersist()
   }
 
+  test("fused KeyScan phase 2 ≡ standalone phase 2 (incl. hash-collision grouping)") {
+    val df = Seq(
+      ("u1", "t1"), ("u2", "t2"), ("u2", "t2"), ("u2", "t2"),
+      ("u4", "t4"), ("u4", "DIFFERENT"), ("u5", "t5")
+    ).toDF("url", "text")
+    val u = UniquenessCheck("u", Seq("url"))
+    val b = ByteIdentityCheck("b", "url", "text")
+    val p1 = KeyScan.phase1(df, Seq("url"), "text")
+    val p2 = KeyScan.phase2(df, Seq("url"), "text", p1)
+    // frame contents: exact per-key counts + distinct full digests
+    val rows = p2.collect().map(r => r.getAs[String]("url") ->
+      (r.getAs[Long]("dup_count"), r.getAs[Long]("n_digests"))).toMap
+    assert(rows == Map("u2" -> ((3L, 1L)), "u4" -> ((2L, 2L))))
+    // both checks' verdicts/violations from the ONE shared frame match standalone
+    val uvShared = Uniqueness.verdicts(df, u, shared = Some(p2)).collect()(0)
+    assert(uvShared.getAs[Double]("stat") == Uniqueness.verdicts(df, u).collect()(0).getAs[Double]("stat"))
+    val bvShared = ByteIdentity.verdicts(df, b, shared = Some(p2)).collect()(0)
+    assert(bvShared.getAs[Double]("stat") == ByteIdentity.verdicts(df, b).collect()(0).getAs[Double]("stat"))
+    assert(Uniqueness.violations(df, u, shared = Some(p2))
+      .collect().map(_.getAs[String]("key")).sorted.toSeq == Seq("u2", "u4"))
+    assert(ByteIdentity.violations(df, b, shared = Some(p2))
+      .collect().map(_.getAs[String]("key")).toSeq == Seq("u4"))
+    p2.unpersist(); p1.unpersist()
+  }
+
   test("ColumnStats fused pass: thresholds verdict correctly") {
     val df = (1 to 100).map(i => (if (i <= 10) None else Some(i.toDouble)))
       .toDF("v")
