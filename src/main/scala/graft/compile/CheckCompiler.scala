@@ -43,38 +43,57 @@ object CheckCompiler {
     (missing ++ badName ++ notNum ++ notTime).toList
   }
 
+  /** Every input column a check reads — the validation list, and the
+    * column-pruning list the Runner caches (at the design scale the input
+    * rows are dominated by payload columns no check touches, e.g. `html`;
+    * caching them would evict the columns the checks DO scan — same
+    * principle as parquet ReadSchema pruning). */
+  def referencedColumns(check: Check): Seq[String] = check match {
+    case c: ColumnStatsCheck => c.column +: c.scope
+    case c: UniquenessCheck => c.keys ++ c.scope
+    case c: ReferentialCheck => c.column +: c.scope
+    case c: CategoricalConsistencyCheck =>
+      Seq(c.valueCol, c.groupCol) ++ c.scope ++ c.dateCol.toSeq
+    case c: DigitPreferenceCheck =>
+      Seq(c.column, c.groupCol) ++ c.scope ++ c.dateCol.toSeq
+    case c: GroupVarianceCheck =>
+      Seq(c.outcome, c.groupCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
+    case c: RegressionOutlierCheck =>
+      Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
+    case c: LongitudinalOutlierCheck =>
+      Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
+    case c: DriftCheck => Seq(c.column, c.dateCol) ++ c.scope
+    case c: ByteIdentityCheck => Seq(c.keyCol, c.column)
+  }
+
   /** Structural issues that make a check uncompilable (reference: hard
     * %put ERROR + abort paths). */
   def validate(schema: StructType, check: Check): List[Issue] = check match {
     case c: ColumnStatsCheck =>
-      colIssues(schema, c.id, c.column +: c.scope)
+      colIssues(schema, c.id, referencedColumns(c))
     case c: UniquenessCheck =>
-      colIssues(schema, c.id, c.keys ++ c.scope)
+      colIssues(schema, c.id, referencedColumns(c))
     case c: ReferentialCheck =>
-      colIssues(schema, c.id, c.column +: c.scope)
+      colIssues(schema, c.id, referencedColumns(c))
     case c: CategoricalConsistencyCheck =>
-      colIssues(schema, c.id, Seq(c.valueCol, c.groupCol) ++ c.scope ++ c.dateCol.toSeq,
-        temporal = c.dateCol.toSeq)
+      colIssues(schema, c.id, referencedColumns(c), temporal = c.dateCol.toSeq)
     case c: DigitPreferenceCheck =>
-      colIssues(schema, c.id, Seq(c.column, c.groupCol) ++ c.scope ++ c.dateCol.toSeq,
+      colIssues(schema, c.id, referencedColumns(c),
         numeric = Seq(c.column), temporal = c.dateCol.toSeq)
     case c: GroupVarianceCheck =>
-      colIssues(schema, c.id,
-        Seq(c.outcome, c.groupCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope,
+      colIssues(schema, c.id, referencedColumns(c),
         numeric = c.outcome +: c.contCovariates)
     case c: RegressionOutlierCheck =>
-      colIssues(schema, c.id,
-        Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope,
+      colIssues(schema, c.id, referencedColumns(c),
         numeric = c.outcome +: c.contCovariates)
     case c: LongitudinalOutlierCheck =>
-      colIssues(schema, c.id,
-        Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope,
+      colIssues(schema, c.id, referencedColumns(c),
         numeric = c.outcome +: c.contCovariates)
     case c: DriftCheck =>
-      colIssues(schema, c.id, Seq(c.column, c.dateCol) ++ c.scope,
+      colIssues(schema, c.id, referencedColumns(c),
         numeric = Seq(c.column), temporal = Seq(c.dateCol))
     case c: ByteIdentityCheck =>
-      colIssues(schema, c.id, Seq(c.keyCol, c.column))
+      colIssues(schema, c.id, referencedColumns(c))
   }
 
   /** Parameter defaulting with warnings — argumentCheck.sas semantics:

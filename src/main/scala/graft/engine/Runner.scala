@@ -44,7 +44,20 @@ object Runner {
     // for a cluster-scaling parquet scan) opt out of the input cache
     val shouldCache = checks.size >= 3 &&
       spark.conf.get("spark.graft.cache.input", "true").toBoolean
-    val input = if (shouldCache) df.cache() else df
+    // prune to the columns the suite actually reads before caching: the
+    // design-scale input is dominated by payload columns no check touches
+    // (html bytes), and caching them evicts the columns the checks DO scan
+    // — the in-memory mirror of parquet ReadSchema pruning. If the CALLER
+    // already cached the input, use it as-is: the in-memory columnar cache
+    // serves per-pass column pruning at read time, and re-caching a pruned
+    // copy would double the memory footprint.
+    val needed = (checks.flatMap(graft.compile.CheckCompiler.referencedColumns) :+
+      suite.keyCol).distinct.filter(df.columns.contains)
+    val pruned = if (needed.size == df.columns.length) df else df.select(needed.map(col): _*)
+    val input =
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+      else if (shouldCache) pruned.cache()
+      else pruned
 
     val colStats = checks.collect { case c: ColumnStatsCheck => c }
     val statsResults: Seq[DataFrame] = colStats.groupBy(_.scope).toSeq.map {
@@ -60,8 +73,10 @@ object Runner {
     // dup_count AND distinct-digest count) serves both checks' second
     // phase too: 4 full input scans become 2.
     val byteChecks = checks.collect { case c: ByteIdentityCheck => c }
+    val fuseKeyScan = spark.conf.get("spark.graft.fuse.keyscan", "true").toBoolean
     val fused: Map[String, (UniquenessCheck, ByteIdentityCheck, DataFrame)] =
-      checks.collect {
+      if (!fuseKeyScan) Map.empty
+      else checks.collect {
         case u: UniquenessCheck =>
           byteChecks.collectFirst {
             case b if b.scope.isEmpty && (u.scope ++ u.keys).distinct == Seq(b.keyCol) =>
@@ -81,8 +96,9 @@ object Runner {
     val catChecks = checks.collect { case c: CategoricalConsistencyCheck => c }
     val digChecks = checks.collect { case c: DigitPreferenceCheck => c }
     val drChecks = checks.collect { case c: DriftCheck => c }
+    val fuseCells = spark.conf.get("spark.graft.fuse.cells", "true").toBoolean
     val cellPre: Map[String, DataFrame] =
-      if (catChecks.size + digChecks.size + drChecks.size < 2) Map.empty
+      if (!fuseCells || catChecks.size + digChecks.size + drChecks.size < 2) Map.empty
       else {
         var base = input
         val drFams = drChecks.zipWithIndex.map { case (c, i) =>
