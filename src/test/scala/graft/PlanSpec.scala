@@ -47,6 +47,23 @@ class PlanSpec extends SparkSpec {
       "partial agg must sit below the shuffle (plan prints top-down)")
   }
 
+  test("fused CellScan: ONE shuffle, partial agg collapses the exploded stream map-side") {
+    val pages = graft.sources.Pages.generate(spark, 1000)
+    val cat = graft.checks.CategoricalConsistencyCheck("cc", "lang", "host_bucket",
+      dateCol = Some("warc_ts"), interval = "quarter")
+    val dig = graft.checks.DigitPreferenceCheck("dp", "score", place = 0.1,
+      groupCol = "host_id")
+    val fams = Seq(graft.operators.CategoricalConsistency.cellFamily(cat),
+      graft.operators.DigitPreference.cellFamily(dig))
+    val p = plan(graft.operators.CellScan.counts(pages, fams))
+    val exchanges = "Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"fused cell scan must shuffle exactly once:\n${p.take(1200)}")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_count")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      "partial agg must sit below the shuffle (plan prints top-down)")
+  }
+
   test("referential anti-join broadcasts the dimension") {
     val pages = graft.sources.Pages.generate(spark, 1000)
     val hosts = graft.sources.Pages.hosts(spark)
