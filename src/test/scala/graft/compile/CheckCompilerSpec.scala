@@ -50,6 +50,43 @@ class CheckCompilerSpec extends SparkSpec {
     assert(warnings.count(_.kind == "defaulted_param") == 4)
   }
 
+  test("referencedColumns covers every column each check family reads (cache-prune safety)") {
+    // the Runner prunes the cached input to referencedColumns — a column a
+    // check reads but does not declare would throw at run time; each
+    // family's check here references every column role it supports
+    val checks: Seq[Check] = Seq(
+      ColumnStatsCheck("cs", "v", scope = Seq("grp")),
+      UniquenessCheck("u", Seq("id"), scope = Seq("grp")),
+      ReferentialCheck("r", "grp", "dim", "grp", scope = Seq("id")),
+      CategoricalConsistencyCheck("cc", "grp", "id", dateCol = Some("ts"), scope = Seq("v")),
+      DigitPreferenceCheck("dp", "v", groupCol = "grp", dateCol = Some("ts"), scope = Seq("id")),
+      GroupVarianceCheck("gv", "v", "grp", discCovariates = Seq("id"), scope = Seq("ts")),
+      RegressionOutlierCheck("ro", "v", "id", contCovariates = Seq("v"), scope = Seq("grp")),
+      LongitudinalOutlierCheck("lo", "v", "id", discCovariates = Seq("grp")),
+      DriftCheck("dr", "v", "ts", scope = Seq("grp")),
+      ByteIdentityCheck("bi", "id", "grp"))
+    checks.foreach { c =>
+      val refd = CheckCompiler.referencedColumns(c).toSet
+      val declared: Set[String] = c match {
+        case x: ColumnStatsCheck => Set(x.column) ++ x.scope
+        case x: UniquenessCheck => x.keys.toSet ++ x.scope
+        case x: ReferentialCheck => Set(x.column) ++ x.scope
+        case x: CategoricalConsistencyCheck =>
+          Set(x.valueCol, x.groupCol) ++ x.scope ++ x.dateCol
+        case x: DigitPreferenceCheck => Set(x.column, x.groupCol) ++ x.scope ++ x.dateCol
+        case x: GroupVarianceCheck =>
+          Set(x.outcome, x.groupCol) ++ x.discCovariates ++ x.contCovariates ++ x.scope
+        case x: RegressionOutlierCheck =>
+          Set(x.outcome, x.idCol) ++ x.discCovariates ++ x.contCovariates ++ x.scope
+        case x: LongitudinalOutlierCheck =>
+          Set(x.outcome, x.idCol) ++ x.discCovariates ++ x.contCovariates ++ x.scope
+        case x: DriftCheck => Set(x.column, x.dateCol) ++ x.scope
+        case x: ByteIdentityCheck => Set(x.keyCol, x.column)
+      }
+      assert(declared.subsetOf(refd), s"${c.id}: ${declared -- refd} missing from referencedColumns")
+    }
+  }
+
   test("valid suite compiles unchanged with no warnings") {
     val (fixed, warnings) = CheckCompiler.compile(df, Seq(
       UniquenessCheck("u", Seq("id")),

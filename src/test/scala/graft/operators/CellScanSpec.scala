@@ -55,6 +55,26 @@ class CellScanSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("Runner cache pruning: every check family runs on an input with an unread payload column") {
+    import spark.implicits._
+    // the Runner caches only referencedColumns — a family reading a column
+    // it does not declare would fail here; payload must never be needed
+    val df = (1 to 400).map { i =>
+      (s"id${i % 50}", s"g${i % 4}", i.toDouble % 13 + (i % 3) * 0.21,
+        i.toDouble % 7, s"payload$i")
+    }.toDF("id", "grp", "v", "x", "payload")
+    val suite = graft.engine.Runner.Suite(Seq(
+      ColumnStatsCheck("cs", "v", maxMissingFrac = Some(0.5)),
+      UniquenessCheck("u", Seq("id", "x")),
+      GroupVarianceCheck("gv", "v", "grp"),
+      RegressionOutlierCheck("ro", "v", "id", contCovariates = Seq("x")),
+      LongitudinalOutlierCheck("lo", "v", "id")), keyCol = "id")
+    val res = graft.engine.Runner.run(df, suite)
+    val byCheck = res.verdicts.groupBy("check_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("cs", "u", "gv", "ro", "lo").subsetOf(byCheck.keySet), s"got $byCheck")
+  }
+
   test("Runner suite (fusion active) still flags every planted anomaly") {
     val res = graft.engine.Runner.run(Pages.generate(spark, 20000, numPartitions = 8),
       Flagship.suite(spark))
