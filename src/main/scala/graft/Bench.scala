@@ -57,6 +57,16 @@ object Bench {
     // a crashing query must surface as an error, not a flattering fast
     // timing (round-1 fix): per-query error strings ride the JSON line
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // untimed warmup: the JVM's first Spark action pays one-off JIT +
+    // codegen-compiler cost (~5 s) that otherwise lands entirely on the
+    // first timed query (round-1 bench showed q01 at 6.4 s vs a ~1 s warm
+    // plan); run the first query once untimed so every timed number below
+    // is steady-state
+    SparkEntry.allSpecs.headOption.foreach { spec =>
+      try spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     SparkEntry.allSpecs.foreach { spec =>
       results(spec.name) = time {
         try spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
