@@ -52,7 +52,14 @@ object GroupVariance {
 
   /** Per-(scope, grp) Brown-Forsythe group-vs-rest results with Holm. */
   def tests(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
-    val r = scaledResiduals(df, check).select(col("__key"), col("__grp"), col("rscaled"))
+    // cache the narrow (scope, grp, rscaled) frame: it feeds THREE branches
+    // of this plan (comparison domain, per-side medians, z-scores) and
+    // Catalyst does not materialize common subplans — uncached, the whole
+    // OLS + whitening pipeline would execute 3×. The reference itself
+    // materializes the vciry residual dataset before PROC GLM
+    // (groupComparisons.sas:393-401); MEMORY_AND_DISK spills at scale.
+    val r = scaledResiduals(df, check)
+      .select(col("__key"), col("__grp"), col("rscaled")).cache()
     // comparison domain: distinct (scope, group), kept distributed and
     // broadcast-joined (round-1 fix: no driver collect; the reference's
     // distinct-into list, groupComparisons.sas:243-248, is a driver array).
@@ -98,7 +105,9 @@ object GroupVariance {
       .withColumn("stat", col("__fp._1"))
       .withColumn("p_raw", col("__fp._2"))
       .drop("__fp", "sides", "sz_all")
-    CategoricalConsistency.holmWithinPanel(withF, Seq("__key"))
+    // per-comparison rows only (k per scope) — cached so verdicts +
+    // violations share one computation (cache-manager plan dedup)
+    CategoricalConsistency.holmWithinPanel(withF, Seq("__key")).cache()
   }
 
   def verdicts(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
