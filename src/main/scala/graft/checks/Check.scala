@@ -114,7 +114,12 @@ final case class GroupVarianceCheck(
     contCovariates: Seq[String] = Nil,
     scope: Seq[String] = Nil,
     alpha: Double = 0.1,
-    severity: String = "warn") extends Check
+    severity: String = "warn",
+    /** Variance-component estimator behind the whitening: "mom" (ANOVA
+      * method-of-moments, fully distributed, the scale default) or "reml"
+      * (exact profile REML — PROC MIXED's default method, matching the
+      * reference's vciry source, groupComparisons.sas:393-401). */
+    method: String = "mom") extends Check
 
 /** Regression-outlier check — re-expression of %univariatePlot /
   * %bivariatePlot: OLS per scope group, flag |rStudent| >= tinv(cutoff)

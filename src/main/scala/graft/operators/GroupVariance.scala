@@ -34,7 +34,12 @@ object GroupVariance {
     val subjStats = withResid
       .groupBy(col("__key"), col(check.groupCol).cast("string").as("__grp"))
       .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
-    val est = VarComp.estimates(subjStats)
+    // method="reml" mirrors LongitudinalOutlier: exact profile REML (the
+    // PROC MIXED default the reference's vciry residuals come from); MoM
+    // stays the fully distributed scale default — same output schema.
+    val est =
+      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(subjStats)
+      else VarComp.estimates(subjStats)
     val wGrp = Window.partitionBy(col("__key"), col(check.groupCol))
     withResid
       .withColumn("__grp", col(check.groupCol).cast("string"))

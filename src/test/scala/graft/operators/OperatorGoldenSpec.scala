@@ -362,6 +362,28 @@ class OperatorGoldenSpec extends SparkSpec {
       tc.map(r => r.getAs[String]("cmp") -> r.getAs[Double]("p_holm")).toSeq.toString)
   }
 
+  test("GroupVariance method=reml whitening agrees with MoM on the planted fixture") {
+    // balanced design: profile REML and ANOVA MoM coincide when the
+    // between-group component is positive (VarCompSpec equivalence), so
+    // the whitened residuals — and the BF decisions — must match
+    val rng = new scala.util.Random(7)
+    val rows =
+      (1 to 120).map(_ => ("G1", rng.nextGaussian())) ++
+      (1 to 120).map(_ => ("G2", rng.nextGaussian())) ++
+      (1 to 120).map(_ => ("G3", rng.nextGaussian())) ++
+      (1 to 120).map(_ => ("G4", 3.0 * rng.nextGaussian()))
+    val df = rows.toDF("grp", "y")
+    val mom = GroupVariance.tests(df, GroupVarianceCheck("gvm", "y", "grp", alpha = 0.05))
+      .collect().map(r => r.getAs[String]("cmp") -> r.getAs[Double]("p_holm")).toMap
+    val reml = GroupVariance.tests(df, GroupVarianceCheck("gvr", "y", "grp", alpha = 0.05,
+      method = "reml"))
+      .collect().map(r => r.getAs[String]("cmp") -> r.getAs[Double]("p_holm")).toMap
+    assert(reml("G4") < 0.05, s"REML path must flag the planted group, p=${reml("G4")}")
+    mom.foreach { case (g, p) =>
+      assert(math.abs(reml(g) - p) < 1e-6, s"$g: reml=${reml(g)} mom=$p")
+    }
+  }
+
   test("GroupVariance skips single-group scopes (groupComparisons.sas:264)") {
     val df = ((1 to 30).map(i => ("A", "only", i.toDouble)) ++
       (1 to 30).map(i => ("B", "g1", i.toDouble)) ++
