@@ -129,12 +129,19 @@ object Runner {
       case c: DigitPreferenceCheck =>
         (DigitPreference.verdicts(input, c, cellPre.get(c.id)),
           DigitPreference.violations(input, c, cellPre.get(c.id)))
+      // model families: build the (eager, Gram-collecting) tests/flagged
+      // lineage ONCE and derive both outputs from it — separate
+      // verdicts/violations calls would each re-run the driver-side OLS
+      // collect pass
       case c: GroupVarianceCheck =>
-        (GroupVariance.verdicts(input, c), GroupVariance.violations(input, c))
+        val t = GroupVariance.tests(input, c)
+        (GroupVariance.verdictsFrom(t, c), GroupVariance.violationsFrom(t, c))
       case c: RegressionOutlierCheck =>
-        (RegressionOutlier.verdicts(input, c), RegressionOutlier.violations(input, c))
+        val f = RegressionOutlier.flagged(input, c)
+        (RegressionOutlier.verdictsFrom(f, c), RegressionOutlier.violationsFrom(f, c))
       case c: LongitudinalOutlierCheck =>
-        (LongitudinalOutlier.verdicts(input, c), LongitudinalOutlier.violations(input, c))
+        val f = LongitudinalOutlier.flagged(input, c)
+        (LongitudinalOutlier.verdictsFrom(f, c), LongitudinalOutlier.violationsFrom(f, c))
       case c: DriftCheck =>
         (Drift.verdicts(input, c, cellPre.get(c.id)),
           Drift.violations(input, c, cellPre.get(c.id)))

@@ -115,8 +115,12 @@ object GroupVariance {
     CategoricalConsistency.holmWithinPanel(withF, Seq("__key")).cache()
   }
 
-  def verdicts(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
-    val t = tests(df, check)
+  def verdicts(df: DataFrame, check: GroupVarianceCheck): DataFrame =
+    verdictsFrom(tests(df, check), check)
+
+  /** Verdicts from a prebuilt `tests` frame — lets the Runner build the
+    * (eager, Gram-collecting) tests lineage ONCE for both outputs. */
+  def verdictsFrom(t: DataFrame, check: GroupVarianceCheck): DataFrame = {
     val framed = t.select(
       concat_ws("/", col("__key"), concat(lit("grp="), col("cmp"))).as("partition"),
       lit("brown_forsythe_vs_rest").as("metric"),
@@ -128,8 +132,11 @@ object GroupVariance {
     Results.toVerdicts(framed, check.id, check.severity)
   }
 
-  def violations(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
-    val t = tests(df, check).filter(!col("p_holm").isNaN && col("p_holm") < check.alpha)
+  def violations(df: DataFrame, check: GroupVarianceCheck): DataFrame =
+    violationsFrom(tests(df, check), check)
+
+  def violationsFrom(testsFrame: DataFrame, check: GroupVarianceCheck): DataFrame = {
+    val t = testsFrame.filter(!col("p_holm").isNaN && col("p_holm") < check.alpha)
     val v = t.select(
       col("cmp").as("key"),
       col("__key").as("partition"),

@@ -56,8 +56,12 @@ object LongitudinalOutlier {
       .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
   }
 
-  def verdicts(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {
-    val f = flagged(df, check)
+  def verdicts(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame =
+    verdictsFrom(flagged(df, check), check)
+
+  /** Verdicts from a prebuilt `flagged` frame — lets the Runner build the
+    * (eager, Gram-collecting) flagged lineage ONCE for both outputs. */
+  def verdictsFrom(f: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {
     val framed = f.groupBy(col("__key")).agg(
       sum(when(col("flag_outlier"), 1L).otherwise(0L)).as("n_outliers"),
       countDistinct(when(col("flag_outlier"), col(check.idCol))).as("n_subjects_flagged"),
@@ -77,8 +81,11 @@ object LongitudinalOutlier {
     * (the reference's print=OUTLIERS semi-join, longitudinalPlot.sas:486-493),
     * flagged rows labeled as such. */
   def violations(df: DataFrame, check: LongitudinalOutlierCheck,
+      wholeSubject: Boolean = false): DataFrame =
+    violationsFrom(flagged(df, check), check, wholeSubject)
+
+  def violationsFrom(f: DataFrame, check: LongitudinalOutlierCheck,
       wholeSubject: Boolean = false): DataFrame = {
-    val f = flagged(df, check)
     val rows =
       if (!wholeSubject) f.filter(col("flag_outlier"))
       else {

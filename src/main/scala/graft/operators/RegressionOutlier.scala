@@ -48,8 +48,12 @@ object RegressionOutlier {
     }
   }
 
-  def verdicts(df: DataFrame, check: RegressionOutlierCheck): DataFrame = {
-    val f = flagged(df, check)
+  def verdicts(df: DataFrame, check: RegressionOutlierCheck): DataFrame =
+    verdictsFrom(flagged(df, check), check)
+
+  /** Verdicts from a prebuilt `flagged` frame — lets the Runner build the
+    * (eager, Gram-collecting) flagged lineage ONCE for both outputs. */
+  def verdictsFrom(f: DataFrame, check: RegressionOutlierCheck): DataFrame = {
     val framed = f.groupBy(col("__key")).agg(
       sum(when(col("flag_outlier"), 1L).otherwise(0L)).as("n_outliers"),
       count(lit(1)).as("n"),
@@ -64,8 +68,11 @@ object RegressionOutlier {
     Results.toVerdicts(framed, check.id, check.severity)
   }
 
-  def violations(df: DataFrame, check: RegressionOutlierCheck): DataFrame = {
-    val f = flagged(df, check).filter(col("flag_outlier"))
+  def violations(df: DataFrame, check: RegressionOutlierCheck): DataFrame =
+    violationsFrom(flagged(df, check), check)
+
+  def violationsFrom(flaggedFrame: DataFrame, check: RegressionOutlierCheck): DataFrame = {
+    val f = flaggedFrame.filter(col("flag_outlier"))
     val v = f.select(
       col(check.idCol).cast("string").as("key"),
       col("__key").as("partition"),
