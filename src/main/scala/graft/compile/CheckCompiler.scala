@@ -114,6 +114,12 @@ object CheckCompiler {
         if (!Set("chisq", "fisher").contains(c.test.toLowerCase)) {
           warn("defaulted_param", s"test=${c.test} → chisq"); out = out.copy(test = "chisq")
         }
+        if (out.holmPooled && !out.pairwise) {
+          // documented contract: the pooled Holm family needs the pairwise
+          // grid; silently ignoring the flag hides a misconfiguration
+          warn("defaulted_param", "holmPooled=true requires pairwise=true → holmPooled=false")
+          out = out.copy(holmPooled = false)
+        }
         out
       case c: DigitPreferenceCheck =>
         var out = c
@@ -134,13 +140,23 @@ object CheckCompiler {
           warn("defaulted_param", s"cutoffPct=${c.cutoffPct} → 90"); c.copy(cutoffPct = 90)
         } else c
       case c: LongitudinalOutlierCheck =>
+        var out = c
         if (c.cutoffPct <= 50 || c.cutoffPct >= 100) {
-          warn("defaulted_param", s"cutoffPct=${c.cutoffPct} → 90"); c.copy(cutoffPct = 90)
-        } else c
+          warn("defaulted_param", s"cutoffPct=${c.cutoffPct} → 90"); out = out.copy(cutoffPct = 90)
+        }
+        if (!Set("mom", "reml").contains(out.method.toLowerCase)) {
+          warn("defaulted_param", s"method=${out.method} → mom"); out = out.copy(method = "mom")
+        }
+        out
       case c: GroupVarianceCheck =>
+        var out = c
         if (c.alpha <= 0 || c.alpha >= 1) {
-          warn("defaulted_param", s"alpha=${c.alpha} → 0.1"); c.copy(alpha = 0.1)
-        } else c
+          warn("defaulted_param", s"alpha=${c.alpha} → 0.1"); out = out.copy(alpha = 0.1)
+        }
+        if (!Set("mom", "reml").contains(out.method.toLowerCase)) {
+          warn("defaulted_param", s"method=${out.method} → mom"); out = out.copy(method = "mom")
+        }
+        out
       case c: DriftCheck =>
         var out = c
         if (!Intervals(c.interval.toLowerCase)) {

@@ -131,11 +131,20 @@ object VarComp {
     val k = stats.map(_.k).sum
     val n = stats.map(s => s.n * s.k).sum
     if (k == 0 || n == 0) return Estimate(Double.NaN, Double.NaN, k, n)
-    if (k == 1 || n == k) {
-      // one subject or all-singleton subjects: σ²_b unidentifiable → 0
-      val mom = fromResidualStats(stats.flatMap(s =>
-        Seq.fill(s.k.toInt)((s.n, s.sumS / s.k, s.sumSS / s.k))))
-      return Estimate(0.0, mom.sigmaE2, k, n)
+    if (n == k) {
+      // all-singleton subjects: σ²_b unidentifiable → 0, MSW has 0 df —
+      // matches the distributed MoM path (msw NaN when n == k). Computed
+      // directly from the size-class sums: materializing one tuple per
+      // subject here would put 10^8+ rows on the driver (and overflow
+      // s.k.toInt), defeating the size-class guard.
+      return Estimate(0.0, Double.NaN, k, n)
+    }
+    if (k == 1) {
+      // one subject: σ²_b unidentifiable → 0; MSW = (Σr² − (Σr)²/n)/(n−1),
+      // directly from the single size class (sumS2 = sumS² when k = 1).
+      val s = stats.find(_.k > 0).get
+      val msw = (s.sumSS - s.sumS2 / s.n) / (n - 1)
+      return Estimate(0.0, msw, k, n)
     }
     def neg2lr(lambda: Double): Double = {
       var swS = 0.0; var swNK = 0.0

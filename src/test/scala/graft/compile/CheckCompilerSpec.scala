@@ -50,6 +50,29 @@ class CheckCompilerSpec extends SparkSpec {
     assert(warnings.count(_.kind == "defaulted_param") == 4)
   }
 
+  test("variance-component method + pooled-Holm prerequisites default with warnings") {
+    val (fixed, warnings) = CheckCompiler.compile(df, Seq(
+      GroupVarianceCheck("gv", "v", "grp", method = "remml"),
+      LongitudinalOutlierCheck("lo", "v", "id", method = "ml"),
+      CategoricalConsistencyCheck("cp", "grp", "id",
+        pairwise = false, holmPooled = true)))
+    val gv = fixed.collectFirst { case c: GroupVarianceCheck => c }.get
+    assert(gv.method == "mom")
+    val lo = fixed.collectFirst { case c: LongitudinalOutlierCheck => c }.get
+    assert(lo.method == "mom")
+    val cp = fixed.collectFirst { case c: CategoricalConsistencyCheck => c }.get
+    assert(!cp.holmPooled, "holmPooled without pairwise must default off")
+    assert(warnings.count(_.kind == "defaulted_param") == 3)
+    // valid configurations pass through untouched, no warnings
+    val (ok, w2) = CheckCompiler.compile(df, Seq(
+      GroupVarianceCheck("gv2", "v", "grp", method = "REML"),
+      CategoricalConsistencyCheck("cp2", "grp", "id",
+        pairwise = true, holmPooled = true)))
+    assert(ok.collectFirst { case c: GroupVarianceCheck => c }.get.method == "REML")
+    assert(ok.collectFirst { case c: CategoricalConsistencyCheck => c }.get.holmPooled)
+    assert(w2.isEmpty)
+  }
+
   test("referencedColumns covers every column each check family reads (cache-prune safety)") {
     // the Runner prunes the cached input to referencedColumns — a column a
     // check reads but does not declare would throw at run time; each

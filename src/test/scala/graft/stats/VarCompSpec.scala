@@ -164,6 +164,27 @@ class VarCompSpec extends SparkSpec {
     assert(mom.exists(r => r.getString(0) == "u3"), "planted spike flagged under mom")
   }
 
+  test("remlFromSizeStats degenerate branches: no per-subject expansion, MoM-consistent") {
+    // all-singleton subjects (n == k): σ²_b unidentifiable → 0, MSW has
+    // 0 df → NaN, matching the distributed MoM path — and it must work at
+    // counts that would overflow an Int if expanded per-subject
+    val singletons = Seq(VarComp.SizeStat(1L, 3000000000L, 1.0e9, 4.0e9, 6.0e9))
+    val e1 = VarComp.remlFromSizeStats(singletons)
+    assert(e1.sigmaB2 == 0.0 && e1.sigmaE2.isNaN)
+    assert(e1.nSubjects == 3000000000L && e1.nRows == 3000000000L)
+    // one subject (k == 1): σ²_b → 0, MSW = sample variance of its rows
+    val vs = Seq(1.0, 2.0, 4.0, 7.0)
+    val one = Seq(VarComp.SizeStat(vs.size, 1, vs.sum,
+      vs.sum * vs.sum, vs.map(v => v * v).sum))
+    val e2 = VarComp.remlFromSizeStats(one)
+    val mean = vs.sum / vs.size
+    val wantMsw = vs.map(v => (v - mean) * (v - mean)).sum / (vs.size - 1)
+    assert(e2.sigmaB2 == 0.0 && math.abs(e2.sigmaE2 - wantMsw) < 1e-12)
+    // matches the per-subject MoM arithmetic exactly
+    val mom = VarComp.fromResidualStats(Seq((vs.size.toLong, vs.sum, vs.map(v => v * v).sum)))
+    assert(math.abs(e2.sigmaE2 - mom.sigmaE2) < 1e-12)
+  }
+
   test("whitenExpr matches whitenCoeffs arithmetic") {
     val est = VarComp.Estimate(sigmaB2 = 0.7, sigmaE2 = 2.3, 10, 40)
     val (a, b) = VarComp.whitenCoeffs(est, 4)
