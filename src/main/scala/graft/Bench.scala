@@ -85,9 +85,14 @@ object Bench {
     val pages = Pages.generate(spark, nPages, numPartitions = cpus.toInt * 4)
     results("pages_generate") = time(pages.cache().count())
     val suiteSec = time {
-      val res = Runner.run(pages, Flagship.suite(spark))
-      res.verdicts.write.format("noop").mode("overwrite").save()
-      res.violations.write.format("noop").mode("overwrite").save()
+      // scope releases the run's operator caches once both outputs are
+      // materialized — the long-lived-session hygiene the resumable path
+      // gets per unit
+      graft.engine.CacheTracker.scope {
+        val res = Runner.run(pages, Flagship.suite(spark))
+        res.verdicts.write.format("noop").mode("overwrite").save()
+        res.violations.write.format("noop").mode("overwrite").save()
+      }
     }
     results("validation_suite_pages") = suiteSec
     val docsPerSec = nPages / suiteSec

@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable.ListBuffer
+import scala.util.DynamicVariable
+
+/** Registry for run-scoped `.cache()` frames.
+  *
+  * Operators cache intermediate frames (reduced counts, candidate subsets,
+  * one row-proportional residual frame) that verdicts + violations share.
+  * Those caches are unit- or run-scoped: once the run's outputs are
+  * materialized they are dead weight, and a long-lived session (the
+  * resumable runner looping over hundreds of units, a notebook reusing one
+  * SparkSession) would otherwise accumulate them until the storage pool
+  * churns with eviction and spill.
+  *
+  * `cached(df)` is a drop-in replacement for `df.cache()` that also
+  * registers the frame with the innermost open `scope`; the scope
+  * unpersists everything registered inside it on exit. Registration is
+  * thread-local (plan construction is single-threaded per run), and a
+  * `cached` call outside any scope degrades to a plain `.cache()` —
+  * short-lived driver-contract queries keep their old behavior.
+  */
+object CacheTracker {
+
+  private val active = new DynamicVariable[List[ListBuffer[DataFrame]]](Nil)
+
+  /** Cache `df` and register it with the innermost open scope, if any. */
+  def cached(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    active.value.headOption.foreach(_ += c)
+    c
+  }
+
+  /** Chained-call sugar: `df.trackedCache()` ≡ `CacheTracker.cached(df)`. */
+  implicit class TrackedCacheOps(private val df: DataFrame) extends AnyVal {
+    def trackedCache(): DataFrame = cached(df)
+  }
+
+  /** Run `body`; on exit (normal or exceptional) unpersist every frame
+    * `cached` registered inside it. The body must MATERIALIZE whatever it
+    * needs from the cached lineages before returning — after the scope
+    * closes, re-executing a returned lazy frame recomputes from source. */
+  def scope[T](body: => T): T = {
+    val frames = new ListBuffer[DataFrame]
+    try active.withValue(frames :: active.value)(body)
+    finally frames.foreach(_.unpersist(blocking = false))
+  }
+}

@@ -56,7 +56,7 @@ object Runner {
     val pruned = if (needed.size == df.columns.length) df else df.select(needed.map(col): _*)
     val input =
       if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-      else if (shouldCache) pruned.cache()
+      else if (shouldCache) CacheTracker.cached(pruned)
       else pruned
 
     val colStats = checks.collect { case c: ColumnStatsCheck => c }
@@ -172,17 +172,25 @@ object Runner {
       .collect().map(_.getString(0)).sorted
     val pending = units.filterNot(done.contains)
     var processed = 0
+    // each unit runs inside a CacheTracker scope: run() and its operators
+    // plant unit-scoped caches (input projection, KeyScan/CellScan reduced
+    // frames, candidate subsets, the GroupVariance residual frame) that are
+    // dead once commitUnit has written the unit's outputs — over hundreds
+    // of units an unreleased set would fill the storage pool with stale
+    // entries and churn eviction. commitUnit materializes inside the scope;
+    // the scope exit unpersists everything the unit cached.
     pending.foreach { unit =>
       if (processed < failAfterUnits) {
-        val t0 = System.nanoTime()
-        val slice = df.filter(col(unitCol).cast("string") === unit)
-        val res = run(slice, suite)
-        val vCount = res.verdicts.cache().count()
-        TableIO.commitUnit(stateRoot,
-          TableIO.ManifestEntry(runId, unit, vCount, (System.nanoTime() - t0) / 1000000,
-            hash, s"input@$unitCol=$unit", System.currentTimeMillis()),
-          Map("verdicts" -> res.verdicts, "violations" -> res.violations))
-        res.verdicts.unpersist()
+        CacheTracker.scope {
+          val t0 = System.nanoTime()
+          val slice = df.filter(col(unitCol).cast("string") === unit)
+          val res = run(slice, suite)
+          val vCount = CacheTracker.cached(res.verdicts).count()
+          TableIO.commitUnit(stateRoot,
+            TableIO.ManifestEntry(runId, unit, vCount, (System.nanoTime() - t0) / 1000000,
+              hash, s"input@$unitCol=$unit", System.currentTimeMillis()),
+            Map("verdicts" -> res.verdicts, "violations" -> res.violations))
+        }
         processed += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{ByteIdentityCheck, Results}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -49,7 +50,7 @@ object ByteIdentity {
         .agg(countDistinct(sha2(col(check.column).cast("binary"), 256)).as("n_digests"),
           count(lit(1)).as("n_rows"))
         .filter(col("n_digests") > 1)
-        .cache() // tiny (conflicting keys only); verdicts + violations share it
+        .trackedCache() // tiny (conflicting keys only); verdicts + violations share it
   }
 
   def verdicts(df: DataFrame, check: ByteIdentityCheck,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{CategoricalConsistencyCheck, Results}
 import graft.stats.{Distributions, Holm}
 import org.apache.spark.sql.DataFrame
@@ -63,7 +64,7 @@ object CategoricalConsistency {
         .agg(count(lit(1)).as("cnt"))
         .withColumnRenamed(check.groupCol, "grp")
         .withColumnRenamed(check.valueCol, "value")
-        .cache()
+        .trackedCache()
     }
     // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6)
     val grpDom = counts.select((keyCols :+ "grp").map(col): _*).distinct()

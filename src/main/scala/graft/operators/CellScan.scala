@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -52,7 +53,7 @@ object CellScan {
       .groupBy(col("__cell"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("__cell.*"), col("cnt"))
-      .cache()
+      .trackedCache()
   }
 
   /** Family `i`'s cell counts with its original key names restored. */

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{DigitPreferenceCheck, Results}
 import graft.stats.Distributions
 import org.apache.spark.sql.{Column, DataFrame}
@@ -77,7 +78,7 @@ object DigitPreference {
         .withColumn("digit", digitAt(col(check.column).cast("double"), check.place))
         .groupBy((keyCols :+ "digit").map(col): _*)
         .agg(count(lit(1)).as("cnt"))
-        .cache()
+        .trackedCache()
     }
     // fixed digit domain: explode literal array — no extra scan
     val dom = counts.select(keyCols.map(col): _*).distinct()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{GroupVarianceCheck, Results}
 import graft.stats.{Distributions, VarComp}
 import org.apache.spark.sql.DataFrame
@@ -64,7 +65,7 @@ object GroupVariance {
     // materializes the vciry residual dataset before PROC GLM
     // (groupComparisons.sas:393-401); MEMORY_AND_DISK spills at scale.
     val r = scaledResiduals(df, check)
-      .select(col("__key"), col("__grp"), col("rscaled")).cache()
+      .select(col("__key"), col("__grp"), col("rscaled")).trackedCache()
     // comparison domain: distinct (scope, group), kept distributed and
     // broadcast-joined (round-1 fix: no driver collect; the reference's
     // distinct-into list, groupComparisons.sas:243-248, is a driver array).
@@ -112,7 +113,7 @@ object GroupVariance {
       .drop("__fp", "sides", "sz_all")
     // per-comparison rows only (k per scope) — cached so verdicts +
     // violations share one computation (cache-manager plan dedup)
-    CategoricalConsistency.holmWithinPanel(withF, Seq("__key")).cache()
+    CategoricalConsistency.holmWithinPanel(withF, Seq("__key")).trackedCache()
   }
 
   def verdicts(df: DataFrame, check: GroupVarianceCheck): DataFrame =

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,7 +29,7 @@ object KeyScan {
         min(ByteIdentity.digest64(col(payloadCol))).as("__a"),
         max(ByteIdentity.digest64(col(payloadCol))).as("__b"))
       .filter(col("__n") > 1)
-      .cache()
+      .trackedCache()
 
   /** Uniqueness phase-2 input: every bucket with more than one row. */
   def uniqueCandidates(phase1: DataFrame): DataFrame = phase1.select("__kh")
@@ -59,5 +60,5 @@ object KeyScan {
       .agg(count(lit(1)).as("dup_count"),
         countDistinct(sha2(col(payloadCol).cast("binary"), 256)).as("n_digests"))
       .filter(col("dup_count") > 1)
-      .cache()
+      .trackedCache()
 }

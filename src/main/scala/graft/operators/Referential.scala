@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{ReferentialCheck, Results}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -28,7 +29,7 @@ object Referential {
     df.where(col(check.column).isNotNull)
       .join(dim, col(check.column) === col("__ref"), "left_anti")
       .select(keep.map(col): _*)
-      .cache()
+      .trackedCache()
   }
 
   def verdicts(df: DataFrame, ref: DataFrame, check: ReferentialCheck,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{Results, UniquenessCheck}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -53,7 +54,7 @@ object Uniqueness {
         subset.groupBy(groupCols.map(col): _*)
           .agg(count(lit(1)).as("dup_count"))
           .filter(col("dup_count") > 1)
-          .cache() // tiny (duplicate keys only); verdicts + violations share it
+          .trackedCache() // tiny (duplicate keys only); verdicts + violations share it
     }
   }
 
