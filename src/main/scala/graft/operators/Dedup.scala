@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.functions.{SimHash64, TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -65,10 +66,21 @@ object Dedup {
       .select("fp", "n_docs", "keep_id", "all_ids")
   }
 
-  /** Rows to drop under exact dedup (everything but the min id per group). */
+  /** Rows to drop under exact dedup (everything but the min id per group).
+    *
+    * Two phases like `exactGroups`: phase 1 is a plain partial hash-agg
+    * finding duplicate fingerprints (fixed-size buffers), phase 2 semi-joins
+    * the duplicate rows — a tiny subset of a web corpus — and ranks only
+    * those. A single row_number window over the full table would sort-shuffle
+    * ALL rows, including the ~99.9% singleton groups that can never appear
+    * in the drop list. */
   def exactDropList(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.withColumn("fp", TF.fingerprint(col(textCol)))
+    val dupFps = withFp.groupBy("fp")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("fp")
     val w = Window.partitionBy("fp").orderBy(col(idCol))
-    df.withColumn("fp", TF.fingerprint(col(textCol)))
+    withFp
+      .join(dupFps, Seq("fp"), "left_semi")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
       .select(col(idCol).as("drop_id"), col("fp"))
@@ -94,7 +106,7 @@ object Dedup {
     val sig0 = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", TF.minhashSignature(col("text"), shingleN, k))
-      .cache()
+      .trackedCache()
       .withColumn("band", explode(TF.lshBands(col("sig"), bands, rowsPerBand)))
     val sig = capBucket(sig0, "band", "id", maxBucket)
     val a = sig.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"),
@@ -115,22 +127,45 @@ object Dedup {
     out.select("id_a", "id_b", "est_jaccard", "jaccard")
   }
 
-  /** SimHash near-dup candidates: bucket by the top `prefixBits` of the
-    * 64-bit simhash, pair within bucket, keep pairs under the Hamming
-    * threshold. (Production variant: q tables with rotated prefixes to
-    * guarantee recall; one table suffices for the planted-duplicate tests.) */
+  /** SimHash near-dup candidates with GUARANTEED recall at the Hamming
+    * threshold: pigeonhole block-split. The 64-bit simhash is cut into
+    * `maxHamming + 1` disjoint bit-blocks; two hashes at Hamming distance
+    * ≤ maxHamming differ in at most maxHamming blocks, so they agree
+    * EXACTLY on at least one block — bucketing each row once per
+    * (block index, block bits) and pairing within buckets therefore
+    * recovers every qualifying pair (the classic Hamming-ball pigeonhole
+    * construction). Candidate volume stays bucket-local: the shuffle
+    * carries (row, block) pairs, never a cross product; hot buckets are
+    * capped (documented recall tradeoff under adversarial boilerplate). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      prefixBits: Int = 16, maxHamming: Int = 3,
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), SimHash64.ofText(col(textCol)).as("sim"))
+    simhashPairs(sig, maxHamming, maxBucket)
+  }
+
+  /** Pair generation over a prebuilt (id, sim) signature frame — the
+    * block-split machinery of `simhashCandidates`, reusable when
+    * signatures are precomputed/materialized (the production shape). */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val withSig0 = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sim", SimHash64.ofText(col("text")))
-      .withColumn("bucket", shiftrightunsigned(col("sim"), 64 - prefixBits))
-    val withSig = capBucket(withSig0, "bucket", "id", maxBucket)
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    val blocks = (0 until nBlocks).map { i =>
+      val lo = i * width
+      val w = if (i == nBlocks - 1) 64 - lo else width // last block absorbs the remainder
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(i).as("blk"),
+        (shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))).as("bits"))
+    }
+    val exploded0 = sig.select(col("id"), col("sim"),
+      explode(array(blocks: _*)).as("bucket"))
+    val exploded = capBucket(exploded0, "bucket", "id", maxBucket)
+    val a = exploded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = exploded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", SimHash64.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b") // a pair may agree on several blocks
   }
 }

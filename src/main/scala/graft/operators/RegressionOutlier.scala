@@ -20,25 +20,28 @@ object RegressionOutlier {
 
   /** Per-row flagged frame: input columns + resid/rstudent/cookd/cutoffs + flags. */
   def flagged(df: DataFrame, check: RegressionOutlierCheck): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val d = OlsPass.design(df, check.contCovariates, check.discCovariates)
     val fits = OlsPass.fitPerGroup(df, check.outcome, d, check.scope)
-    val spark = df.sparkSession
-    // tinv cutoff per group (driver-side tiny map, like the reference's
-    // per-group tinv merge univariatePlot.sas:365)
-    val cutoffs = fits.map { case (k, f) =>
-      k -> (if (f.dfe > 1) Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1) else Double.NaN)
-    }
-    val bc = spark.sparkContext.broadcast(cutoffs)
-    val cutUdf = udf((key: String) => bc.value.getOrElse(key, Double.NaN))
+    // tinv cutoff + n per group: a tiny driver-built frame broadcast-joined
+    // onto the row pass (like the reference's per-group tinv merge,
+    // univariatePlot.sas:365) — a per-row Scala UDF map lookup here would
+    // break whole-stage codegen on the widest row-level pass
+    val cutoffs = fits.toSeq.map { case (k, f) =>
+      (k,
+        if (f.dfe > 1) Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1) else Double.NaN,
+        f.n)
+    }.toDF("__key", "rstudent_cutoff", "__fit_n")
     val withStats = OlsPass.rowStats(df, check.outcome, d, check.scope, fits)
-      .withColumn("rstudent_cutoff", cutUdf(col("__key")))
+      .join(broadcast(cutoffs), Seq("__key"), "left")
+      .withColumn("rstudent_cutoff", coalesce(col("rstudent_cutoff"), lit(Double.NaN)))
     val rsFlag = col("rstudent_cutoff").isNotNull && !col("rstudent_cutoff").isNaN &&
       abs(col("rstudent")) >= col("rstudent_cutoff") // inclusive, :367
     val base = withStats.withColumn("flag_rstudent", coalesce(rsFlag, lit(false)))
-    check.cookCutoff match {
+    val out = check.cookCutoff match {
       case Some(cc) =>
-        val nUdf = udf((key: String) => fits.get(key).map(_.n).getOrElse(0L))
-        base.withColumn("cookd_cutoff", lit(cc) / nUdf(col("__key")))
+        base.withColumn("cookd_cutoff", lit(cc) / coalesce(col("__fit_n"), lit(0L)))
           .withColumn("flag_cookd", coalesce(col("cookd") > col("cookd_cutoff"), lit(false)))
           .withColumn("flag_outlier", col("flag_rstudent") || col("flag_cookd"))
       case None =>
@@ -46,6 +49,7 @@ object RegressionOutlier {
           .withColumn("flag_cookd", lit(false))
           .withColumn("flag_outlier", col("flag_rstudent"))
     }
+    out.drop("__fit_n")
   }
 
   def verdicts(df: DataFrame, check: RegressionOutlierCheck): DataFrame =

@@ -40,7 +40,7 @@ class QueriesSpec extends SparkSpec {
     val drops = graft.operators.Dedup.exactDropList(withDups, "doc_id", "text")
     assert(drops.count() == 20)
     val sim = graft.operators.Dedup.simhashCandidates(withDups, "doc_id", "text",
-      prefixBits = 8, maxHamming = 0)
+      maxHamming = 0)
     assert(sim.count() >= 20) // identical docs share identical simhash
   }
 
@@ -67,7 +67,7 @@ class QueriesSpec extends SparkSpec {
     val hot = (1L to 500L).map(i => (i, "cookie banner accept all cookies please"))
     val df = (hot ++ Seq((9001L, "totally unrelated text one two three"))).toDF("doc_id", "text")
     val sim = graft.operators.Dedup.simhashCandidates(df, "doc_id", "text",
-      prefixBits = 8, maxHamming = 0, maxBucket = 10).collect()
+      maxHamming = 0, maxBucket = 10).collect()
     assert(sim.length == 45, s"expected C(10,2)=45 capped pairs, got ${sim.length}")
     assert(sim.map(_.getAs[Long]("id_a")).max <= 10)
     val mh = graft.operators.Dedup.minhashCandidates(df, "doc_id", "text",
