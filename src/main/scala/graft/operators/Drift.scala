@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{DriftCheck, Results}
 import graft.stats.Distributions
 import org.apache.spark.sql.{Column, DataFrame}
@@ -76,7 +77,7 @@ object Drift {
       .withColumn("bin", explode(lit((0 until check.bins).toArray)))
     panelDom.join(counts, keyCols :+ "bin", "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .cache() // windows × bins rows; tests + violations reuse one pass
+      .trackedCache() // windows × bins rows; tests + violations reuse one pass
   }
 
   /** Per-(scope, panel) drift tests vs pooled rest. */
@@ -84,13 +85,18 @@ object Drift {
       pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
     val h = histogram(df, check, pre)
-    val wScope = Window.partitionBy(check.scope.map(col): _*)
     val wScopeBin = Window.partitionBy((check.scope :+ "bin").map(col): _*)
     val wPanel = Window.partitionBy(keyCols.map(col): _*)
-    val withTotals = h
+    // grand total per scope via a broadcast-joined aggregate: with an empty
+    // scope a window here would be unpartitioned (single-partition
+    // WindowExec warning noise that could mask a real regression)
+    val grand = h.groupBy(check.scope.map(col): _*).agg(sum("cnt").as("grand_total"))
+    val withGrand =
+      if (check.scope.isEmpty) h.crossJoin(broadcast(grand))
+      else h.join(broadcast(grand), check.scope)
+    val withTotals = withGrand
       .withColumn("bin_total", sum("cnt").over(wScopeBin))   // this bin, all windows
       .withColumn("panel_total", sum("cnt").over(wPanel))    // this window
-      .withColumn("grand_total", sum("cnt").over(wScope))
       .withColumn("o1", col("cnt").cast("double"))
       .withColumn("o2", (col("bin_total") - col("cnt")).cast("double"))
       .withColumn("n1", col("panel_total").cast("double"))

@@ -66,7 +66,14 @@ object MiscQueries {
         val g = read(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(round(stddev_samp("l_extendedprice"), 6).as("sd"))
-        g.withColumn("sd_rank", rank().over(Window.orderBy(col("sd"), col("l_returnflag"))))
+        // global rank on a reduced frame as a broadcast inequality
+        // self-join (count of keys ≤ mine; keys are unique per group) —
+        // no unpartitioned WindowExec
+        val rhs = g.select(col("l_returnflag").as("rf_j"), col("sd").as("sd_j"))
+        g.join(broadcast(rhs), col("sd_j") < col("sd") ||
+            (col("sd_j") === col("sd") && col("rf_j") <= col("l_returnflag")))
+          .groupBy("l_returnflag", "sd")
+          .agg(count(lit(1)).cast("int").as("sd_rank"))
           .orderBy("sd_rank")
       },
       Some("""WITH g AS (SELECT l_returnflag, round(stddev_samp(l_extendedprice), 6) AS sd
@@ -137,10 +144,11 @@ object MiscQueries {
     QuerySpec("q46_oneway_pct",
       (s, dir) => {
         val ev = read(s, dir, "events")
-        ev.groupBy("event_type")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("pct", round(col("cnt") * 100.0 /
-            sum("cnt").over(Window.partitionBy()), 6))
+        val counts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum("cnt").as("__tot"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("pct", round(col("cnt") * 100.0 / col("__tot"), 6))
+          .drop("__tot")
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS cnt,

@@ -156,11 +156,13 @@ object StatQueries {
           .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
         val wSrc = Window.partitionBy("source")
         val wLang = Window.partitionBy("lang")
-        val w = Window.partitionBy()
+        // grand total via crossJoin(broadcast(agg)) rather than an
+        // unpartitioned window: same value, no single-partition WindowExec
+        val tot = counts.agg(sum("cnt").as("n_all"))
         counts
           .withColumn("n_src", sum("cnt").over(wSrc))
           .withColumn("n_lang", sum("cnt").over(wLang))
-          .withColumn("n_all", sum("cnt").over(w))
+          .crossJoin(broadcast(tot))
           .withColumn("o1", col("cnt").cast("double"))
           .withColumn("o2", (col("n_lang") - col("cnt")).cast("double"))
           .withColumn("e1", col("n_src") * col("n_lang") / col("n_all"))
@@ -205,15 +207,22 @@ object StatQueries {
           .groupBy("source")
           .agg(sum(pow(col("cnt"), 2) / col("n_lang")).as("s"))
           .withColumn("pseudo_p", round(lit(1.0) / (lit(1.0) + col("s")), 12))
-        val m = count(lit(1)).over(Window.partitionBy())
-        val i = row_number().over(Window.orderBy("pseudo_p", "source"))
-        val adj = least(lit(1.0), col("pseudo_p") * (col("m") - col("i") + 1))
-        stat
-          .withColumn("m", m).withColumn("i", i)
-          .withColumn("adj_i", adj)
-          .withColumn("p_holm", round(max(col("adj_i"))
-            .over(Window.orderBy("pseudo_p", "source")
-              .rowsBetween(Window.unboundedPreceding, 0)), 12))
+        // Holm on a reduced frame without unpartitioned windows: ranks and
+        // the prefix max both become broadcast inequality self-joins (the
+        // frame is one row per source). key_j <= key_i on (pseudo_p, source)
+        // replaces the global ORDER BY; m rides in via crossJoin(broadcast).
+        val m = stat.agg(count(lit(1)).as("m"))
+        val rhs = stat.select(col("source").as("src_j"), col("pseudo_p").as("p_j"))
+        val before = col("p_j") < col("pseudo_p") ||
+          (col("p_j") === col("pseudo_p") && col("src_j") <= col("source"))
+        val ranked = stat.join(broadcast(rhs), before)
+          .groupBy("source", "pseudo_p").agg(count(lit(1)).as("i"))
+          .crossJoin(broadcast(m))
+        val adjRhs = ranked.select(col("source").as("src_j"), col("pseudo_p").as("p_j"),
+          least(lit(1.0), col("p_j") * (col("m") - col("i") + 1)).as("adj_j"))
+        ranked.join(broadcast(adjRhs), before)
+          .groupBy("source", "pseudo_p")
+          .agg(round(max("adj_j"), 12).as("p_holm"))
           .select(col("source"), round(col("pseudo_p"), 12).as("pseudo_p"), col("p_holm"))
           .orderBy("source")
       },
@@ -432,11 +441,11 @@ object StatQueries {
           .groupBy("panel", "bin").agg(count(lit(1)).as("cnt"))
         val wBin = Window.partitionBy("bin")
         val wPanel = Window.partitionBy("panel")
-        val wAll = Window.partitionBy()
+        val grand = binned.agg(sum("cnt").as("grand"))
         binned
           .withColumn("bin_tot", sum("cnt").over(wBin))
           .withColumn("panel_tot", sum("cnt").over(wPanel))
-          .withColumn("grand", sum("cnt").over(wAll))
+          .crossJoin(broadcast(grand))
           .withColumn("e1", col("panel_tot") * col("bin_tot") / col("grand"))
           .withColumn("e2", (col("grand") - col("panel_tot")) * col("bin_tot") / col("grand"))
           .withColumn("term",
