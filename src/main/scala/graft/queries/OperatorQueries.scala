@@ -78,19 +78,52 @@ object OperatorQueries {
       },
       None),
 
-    // Multimodal plumbing: binary payload → deterministic feature stub →
-    // aggregate shape (schema + batching are the tested surface)
+    // Multimodal plumbing: non-image binary payload → decode attempt →
+    // flagged byte-fold fallback (schema + batching + the decoded flag are
+    // the tested surface; real decode is q57)
     QuerySpec("q52_multimodal_decode",
       (s, dir) => {
         val docs = read(s, dir, "documents").filter(col("doc_id") < 100)
           .withColumn("payload", to_binary(md5(col("text")), lit("hex")))
         Multimodal.decodeStub(docs, "doc_id", "payload")
-          .select(col("key").cast("long").as("doc_id"),
+          .select(col("key").cast("long").as("doc_id"), col("decoded"),
             size(col("features")).as("n_features"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, 8 AS n_features FROM documents
+      Some("""SELECT doc_id, false AS decoded, 8 AS n_features FROM documents
              WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // REAL image decode (javax.imageio, in-JDK): deterministic synthetic
+    // PNGs generated per row, decoded back to exact per-channel pixel sums
+    // — PNG is lossless, so an independent closed-form SQL oracle
+    // reproduces the sums bit-exactly
+    QuerySpec("q57_image_decode",
+      (s, dir) => {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 64)
+          .withColumn("__w", (lit(3) + col("doc_id") % 4).cast("int"))
+          .withColumn("__h", (lit(2) + col("doc_id") % 3).cast("int"))
+          .withColumn("payload",
+            Multimodal.syntheticPngUdf(col("doc_id"), col("__w"), col("__h")))
+        Multimodal.decodeImages(docs, "doc_id", "payload")
+          .select(col("key").cast("long").as("doc_id"), col("decoded"),
+            col("width"), col("height"), col("channels"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("n_px"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH xs AS (SELECT x FROM generate_series(0, 6) t(x)),
+               ys AS (SELECT y FROM generate_series(0, 4) t(y)),
+               ids AS (SELECT doc_id FROM documents WHERE doc_id < 64)
+             SELECT i.doc_id, true AS decoded,
+               CAST(3 + i.doc_id % 4 AS INT) AS width,
+               CAST(2 + i.doc_id % 3 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(sum((i.doc_id * 7 + xs.x * 13 + ys.y * 31) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((i.doc_id * 11 + xs.x * 3 + ys.y * 17) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((i.doc_id * 5 + xs.x * 19 + ys.y * 23) % 256) AS BIGINT) AS sum_b,
+               CAST(count(*) AS BIGINT) AS n_px
+             FROM ids i JOIN xs ON xs.x < 3 + i.doc_id % 4
+                        JOIN ys ON ys.y < 2 + i.doc_id % 3
+             GROUP BY 1 ORDER BY 1""")),
 
     // A10 pairwise grid: i<j chi-square statistic arithmetic per source
     // pair (Categorical_Check.sas:368-419 fused as one cells self-join)

@@ -121,6 +121,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(400))
   }
 
+  test("exactDropList ranks only the semi-joined duplicate subset, not the full table") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "text")
+    val p = plan(graft.operators.Dedup.exactDropList(docs, "id", "text"))
+    val win = p.indexOf("Window")
+    val semi = p.indexOf("LeftSemi")
+    assert(win >= 0 && semi > win,
+      s"the row_number window must sit above a LeftSemi candidate join " +
+        s"(plan prints top-down):\n${p.take(1200)}")
+  }
+
+  test("regression-outlier flagging pass is UDF-free (broadcast cutoff join)") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val f = graft.operators.RegressionOutlier.flagged(li,
+      graft.checks.RegressionOutlierCheck("ro", "l_extendedprice", "l_orderkey",
+        contCovariates = Seq("l_quantity"), scope = Seq("l_returnflag"),
+        cutoffPct = 99.9, cookCutoff = Some(7.0)))
+    val p = plan(f)
+    assert(!p.contains("UDF"), s"flagging must be pure column arithmetic:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "cutoffs must broadcast-join")
+  }
+
   test("whole-stage codegen covers the hot scan→project paths") {
     // AQE wraps the plan lazily; force the final plan by executing
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf("sf0.001"))

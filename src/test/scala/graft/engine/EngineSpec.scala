@@ -115,11 +115,40 @@ class EngineSpec extends SparkSpec {
       "read-back must be restricted to units present in the current input")
   }
 
+  test("resumable run releases every unit-scoped cache (cache lifecycle)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-life").toString
+    val input = Pages.generate(spark, 8000).withColumn("quarter",
+      concat(year(col("warc_ts")), lit(" Q"), ceil(month(col("warc_ts")) / 3.0).cast("int")))
+    // exercise the heavy cache planters: KeyScan (uniqueness+byte fused),
+    // CellScan (categorical+digit), and GroupVariance's row-proportional
+    // residual frame
+    val suite = Runner.Suite(
+      checks = Seq(
+        UniquenessCheck("u", Seq("url")),
+        ByteIdentityCheck("b", "url", "text"),
+        CategoricalConsistencyCheck("cc", "lang", "host_bucket",
+          dateCol = Some("warc_ts"), interval = "quarter"),
+        DigitPreferenceCheck("dp", "score", place = 0.1, groupCol = "host_id"),
+        GroupVarianceCheck("gv", "score", "host_bucket")),
+      keyCol = "url")
+    spark.catalog.clearCache() // start from a known-empty cache pool
+    val res = Runner.runResumable(input, suite, dir, "quarter", "run-cache")
+    assert(res.verdicts.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "unit-scoped caches must all be unpersisted after their unit commits")
+    // resumed results unchanged by the release (state is read from the store)
+    val again = Runner.runResumable(input, suite, dir, "quarter", "run-cache2")
+    assert(again.verdicts.count() == res.verdicts.count())
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("multimodal plumbing: decode stub and frame sampling shapes") {
     val mm = graft.operators.Multimodal.decodeStub(pages.limit(100), "url", "html")
     val rows = mm.collect()
     assert(rows.length == 100)
-    assert(rows.forall(_.getSeq[Float](1).size == 8))
+    // the synthetic html bytes are not an image: flagged fallback features
+    assert(rows.forall(!_.getBoolean(1)))
+    assert(rows.forall(_.getSeq[Float](2).size == 8))
     val frames = graft.operators.Multimodal.frameSampleStub(pages.limit(10), "url", "html")
     assert(frames.count() >= 10)
     val meta = graft.operators.Multimodal.describeBinary(pages.limit(5), "url", "html")

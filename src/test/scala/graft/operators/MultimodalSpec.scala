@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the REAL image decoder: deterministic in-test images
+  * (written with ImageIO, decoded back through the Spark operator) with
+  * hand-computed expected dims / channel sums / luma histogram. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("PNG decode: exact dims, channel sums, and luma histogram") {
+    // 3×2 RGB with explicit pixels
+    val px = Array(
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)),
+      Array((200, 210, 220), (0, 0, 0), (255, 255, 255)))
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (r, g, b) = px(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val df = Seq(("k1", png(img))).toDF("id", "payload")
+    val row = Multimodal.decodeImages(df, "id", "payload").collect()(0)
+    assert(row.getAs[Boolean]("decoded"))
+    assert(row.getAs[Int]("width") == 3 && row.getAs[Int]("height") == 2)
+    assert(row.getAs[Int]("channels") == 3)
+    val flat = px.flatten
+    assert(row.getAs[Long]("sum_r") == flat.map(_._1.toLong).sum)
+    assert(row.getAs[Long]("sum_g") == flat.map(_._2.toLong).sum)
+    assert(row.getAs[Long]("sum_b") == flat.map(_._3.toLong).sum)
+    assert(row.getAs[Long]("n_px") == 6L)
+    // hand-computed BT.601 luma bins (integer math, bin width 32)
+    val wantHist = new Array[Long](8)
+    flat.foreach { case (r, g, b) =>
+      val luma = (299 * r + 587 * g + 114 * b) / 1000
+      wantHist(math.min(7, luma >> 5)) += 1
+    }
+    assert(row.getSeq[Long](row.fieldIndex("luma_hist")) == wantHist.toSeq)
+    // derived means
+    assert(math.abs(row.getAs[Double]("mean_r") - flat.map(_._1).sum / 6.0) < 1e-12)
+  }
+
+  test("grayscale PNG decodes with r=g=b and 1 channel") {
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = 16 * (y * 4 + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val df = Seq(("g", png(img))).toDF("id", "payload")
+    val row = Multimodal.decodeImages(df, "id", "payload").collect()(0)
+    assert(row.getAs[Boolean]("decoded"))
+    assert(row.getAs[Int]("channels") == 1)
+    assert(row.getAs[Long]("sum_r") == row.getAs[Long]("sum_g"))
+    assert(row.getAs[Long]("sum_g") == row.getAs[Long]("sum_b"))
+  }
+
+  test("JPEG decodes (lossy): exact dims, approximate means") {
+    val img = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16)
+      img.setRGB(x, y, (128 << 16) | (64 << 8) | 200)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    val df = Seq(("j", out.toByteArray)).toDF("id", "payload")
+    val row = Multimodal.decodeImages(df, "id", "payload").collect()(0)
+    assert(row.getAs[Boolean]("decoded"))
+    assert(row.getAs[Int]("width") == 16 && row.getAs[Int]("height") == 8)
+    assert(math.abs(row.getAs[Double]("mean_r") - 128) < 16, "JPEG mean_r drift")
+    assert(math.abs(row.getAs[Double]("mean_g") - 64) < 16, "JPEG mean_g drift")
+    assert(math.abs(row.getAs[Double]("mean_b") - 200) < 16, "JPEG mean_b drift")
+  }
+
+  test("undecodable payloads are flagged and fall back to byte-fold features") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val df = Seq(("bad", junk), ("empty", Array.emptyByteArray)).toDF("id", "payload")
+    val rows = Multimodal.decodeImages(df, "id", "payload")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(!rows("bad").getAs[Boolean]("decoded"))
+    assert(!rows("empty").getAs[Boolean]("decoded"))
+    val feats = rows("bad").getSeq[Float](rows("bad").fieldIndex("features"))
+    assert(feats == Multimodal.fakeFeatures(junk).toSeq)
+    // mixed batch: a decodable image in the same frame still decodes
+    val mixed = Seq(("ok", Multimodal.syntheticPng(1, 3, 2)), ("bad", junk))
+      .toDF("id", "payload")
+    val m = Multimodal.decodeImages(mixed, "id", "payload")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Boolean]("decoded")).toMap
+    assert(m("ok") && !m("bad"))
+  }
+
+  test("syntheticPng round-trips through the decoder to its closed-form sums") {
+    for (seed <- Seq(0L, 1L, 7L, 63L)) {
+      val w = (3 + seed % 4).toInt
+      val h = (2 + seed % 3).toInt
+      val df = Seq((seed.toString, Multimodal.syntheticPng(seed, w, h))).toDF("id", "payload")
+      val row = Multimodal.decodeImages(df, "id", "payload").collect()(0)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (seed * 7 + x * 13 + y * 31) % 256
+        sg += (seed * 11 + x * 3 + y * 17) % 256
+        sb += (seed * 5 + x * 19 + y * 23) % 256
+      }
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      assert(row.getAs[Long]("sum_r") == sr, s"seed=$seed r")
+      assert(row.getAs[Long]("sum_g") == sg, s"seed=$seed g")
+      assert(row.getAs[Long]("sum_b") == sb, s"seed=$seed b")
+    }
+  }
+}
