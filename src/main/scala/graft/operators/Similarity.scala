@@ -33,15 +33,31 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: sign-pattern cell id on both sides, equi-join on the
-    * cell, rank within query. Recall < 1 by construction (a neighbor in a
-    * different cell is missed) — the standard IVF tradeoff; increase probes
-    * by unioning neighboring cells when recall matters more than cost. */
+    * cell, rank within query.
+    *
+    * `probeHamming = 0` probes only the query's own cell (cheapest, lowest
+    * recall — a neighbor whose sign pattern differs in one dim is missed
+    * when its coordinate sits near 0). `probeHamming = 1` is multi-probe:
+    * the query side explodes to its cell plus all `bits` Hamming-1
+    * neighbor cells, so a single borderline sign flip can no longer lose
+    * the neighbor. The corpus side stays single-cell — the join is still a
+    * bucket equi-join, the candidate count grows only (bits+1)× on the
+    * (small, broadcast) query side. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 8, probeHamming: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("cell", VectorFunctions.signBucket(col("cvec"), bits))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("cell", VectorFunctions.signBucket(col("qvec"), bits))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell0", VectorFunctions.signBucket(col("qvec"), bits))
+    val q =
+      if (probeHamming <= 0) q0.withColumn("cell", col("cell0")).drop("cell0")
+      else {
+        // probe set: own cell + every cell one sign-flip away (distinct by
+        // construction — no pair dedup needed downstream)
+        val probes = col("cell0") +:
+          (0 until bits).map(b => col("cell0").bitwiseXOR(lit(1L << b)))
+        q0.withColumn("cell", explode(array(probes: _*))).drop("cell0")
+      }
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("cvec"), col("qvec")))

@@ -73,6 +73,36 @@ object VectorQueries {
              SELECT query_id, corpus_id, round(cos_raw, 6) AS cosine, rank
              FROM r WHERE rank <= 3 ORDER BY query_id, rank""")),
 
+    // Multi-probe bucketed ANN: query probes its cell + all Hamming-1
+    // neighbor cells — recovers neighbors lost to one borderline sign flip
+    QuerySpec("q58_ann_multiprobe",
+      (s, dir) => {
+        val emb = read(s, dir, "embeddings")
+        Similarity.bucketedTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3,
+          bits = 8, probeHamming = 1)
+          .select(col("query_id"), col("corpus_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH cells AS (SELECT vec_id, embedding,
+                 list_sum(list_transform(range(1, 9),
+                   i -> CASE WHEN embedding[i] > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS cell
+               FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qvec, cell
+               FROM cells WHERE vec_id < 10),
+             c AS (SELECT vec_id AS corpus_id, embedding AS cvec, cell FROM cells),
+             s AS (SELECT query_id, corpus_id,
+                 ${duckCosine("cvec", "qvec")} AS cos_raw
+               FROM c JOIN q ON bit_count(xor(c.cell, q.cell)) <= 1
+               WHERE corpus_id <> query_id),
+             r AS (SELECT query_id, corpus_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, corpus_id) AS rank
+               FROM s)
+             SELECT query_id, corpus_id, round(cos_raw, 6) AS cosine, rank
+             FROM r WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // Embedding-cosine near-duplicate pairs within a cell above threshold
     QuerySpec("q38_cosine_neardup",
       (s, dir) => Similarity.cosineNearDups(

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall guarantees for the scale-path candidate generators:
+  * pigeonhole block-split simhash (exact guarantee at the Hamming
+  * threshold) and multi-probe bucketed ANN (measured planted-neighbor
+  * recall vs the brute-force baseline). */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash block-split recovers EVERY pair at Hamming <= maxHamming (pigeonhole)") {
+    val rng = new scala.util.Random(42)
+    // planted partners differ in exactly 3 bits, one in each of blocks
+    // 0/1/2 (bits 3, 20, 45) — a single-prefix table keyed on the top 16
+    // bits would also catch these, so add a second family straddling the
+    // TOP block too (bits 20, 45, 60): no contiguous 16-bit prefix is
+    // clean for both families; only the pigeonhole union recovers all.
+    val basesA = (0 until 40).map(i => (i * 10L, rng.nextLong()))
+    val pairsA = basesA.map { case (id, s) => (id + 1, s ^ (1L << 3) ^ (1L << 20) ^ (1L << 45)) }
+    val basesB = (100 until 140).map(i => (i * 10L, rng.nextLong()))
+    val pairsB = basesB.map { case (id, s) => (id + 1, s ^ (1L << 20) ^ (1L << 45) ^ (1L << 60)) }
+    // distance-4 pairs spread over all four blocks: above threshold,
+    // must NOT be emitted
+    val basesC = (200 until 220).map(i => (i * 10L, rng.nextLong()))
+    val pairsC = basesC.map { case (id, s) =>
+      (id + 1, s ^ (1L << 3) ^ (1L << 20) ^ (1L << 45) ^ (1L << 60))
+    }
+    val sig = (basesA ++ pairsA ++ basesB ++ pairsB ++ basesC ++ pairsC).toDF("id", "sim")
+    val found = Dedup.simhashPairs(sig, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (basesA ++ basesB).foreach { case (id, _) =>
+      assert(found.contains((id, id + 1)), s"planted Hamming-3 pair at id=$id missed")
+    }
+    basesC.foreach { case (id, _) =>
+      assert(!found.contains((id, id + 1)), s"Hamming-4 pair at id=$id wrongly emitted")
+    }
+    // emitted hamming distances are correct and within threshold
+    val hs = Dedup.simhashPairs(sig, maxHamming = 3)
+      .select("hamming").collect().map(_.getInt(0))
+    assert(hs.forall(_ <= 3))
+  }
+
+  test("simhash pairs are emitted once even when hashes agree on several blocks") {
+    val sig = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdefL)).toDF("id", "sim")
+    val rows = Dedup.simhashPairs(sig, maxHamming = 3).collect()
+    assert(rows.length == 1, "identical hashes agree on all 4 blocks — one pair, not 4")
+    assert(rows(0).getInt(2) == 0)
+  }
+
+  test("multi-probe bucketed ANN: planted-neighbor recall >= 0.95, beats single-probe") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val corpus = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new scala.util.Random(7)
+    val scale = corpus.iterator.flatMap(_._2).map(math.abs(_)).sum /
+      corpus.iterator.map(_._2.length).sum
+    // planted queries: 100 corpus vectors + small deterministic noise;
+    // the true nearest neighbor is the original vector
+    val queries = corpus.take(100).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + (0.05 * scale * rng.nextGaussian()).toFloat))
+    }
+    val qDf = queries.toSeq.toDF("vec_id", "embedding")
+    def hits(probeHamming: Int): Int = {
+      val top = Similarity.bucketedTopK(emb, qDf, "vec_id", "embedding",
+        k = 3, bits = 8, probeHamming = probeHamming)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      queries.count { case (qid, _) => top.contains((qid, qid - 1000000L)) }
+    }
+    val multi = hits(1)
+    val single = hits(0)
+    assert(multi >= 95, s"multi-probe planted recall ${multi}/100 below 0.95")
+    assert(multi >= single, s"multi-probe ($multi) must not trail single-probe ($single)")
+    // brute force (the exact baseline) finds the planted neighbor ~always;
+    // multi-probe must be within 5 points of it
+    val brute = {
+      val top = Similarity.bruteForceTopK(emb, qDf, "vec_id", "embedding", 3)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      queries.count { case (qid, _) => top.contains((qid, qid - 1000000L)) }
+    }
+    assert(brute - multi <= 5, s"multi-probe ($multi) too far from brute force ($brute)")
+  }
+}
