@@ -67,13 +67,59 @@ def main(out_dir, sf_dir):
             fails += 1
         else:
             print(f"OK   {name}: {sn} rows")
+    # queries DuckDB SQL cannot express: independent pure-python oracles
+    # (tools/pyoracles.py — own CDFs/exact tests/REML optimizer, no JVM)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyoracles import PY_ORACLES
     queries_without_oracle = [d for d in os.listdir(out_dir)
                               if os.path.isdir(os.path.join(out_dir, d)) and d not in oracle]
     for q in sorted(queries_without_oracle):
-        n = sum(len(pd.read_parquet(p)) for p in glob.glob(os.path.join(out_dir, q, "*.parquet")))
-        print(f"ROWS {q}: {n} rows (no oracle)")
+        spark_files = glob.glob(os.path.join(out_dir, q, "*.parquet"))
+        sdf = pd.concat([pd.read_parquet(p) for p in spark_files])
+        if q not in PY_ORACLES:
+            print(f"ROWS {q}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf, opts = PY_ORACLES[q](con, sf_dir)
+        except Exception as e:
+            print(f"FAIL {q}: py-oracle: {e}"); fails += 1; continue
+        fails += 0 if compare_py(q, sdf, odf, opts) else 1
     print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
     return fails
+
+
+def compare_py(name, sdf, odf, opts):
+    """Tolerant compare for the python oracles: exact on keys / ints /
+    strings / bools, np.isclose on floats (NaN == NaN)."""
+    keys = opts["keys"]
+    rtol = opts.get("rtol", 1e-9)
+    atol = opts.get("atol", 0.0)
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1).sort_values(keys).reset_index(drop=True)
+    odf = odf.reindex(sorted(odf.columns), axis=1).sort_values(keys).reset_index(drop=True)
+    if tuple(sdf.columns) != tuple(odf.columns):
+        print(f"FAIL {name}: columns spark={tuple(sdf.columns)} py={tuple(odf.columns)}")
+        return False
+    if len(sdf) != len(odf):
+        print(f"FAIL {name}: rows spark={len(sdf)} py={len(odf)}")
+        return False
+    for c in sdf.columns:
+        s, o = sdf[c], odf[c]
+        if pd.api.types.is_float_dtype(s) or pd.api.types.is_float_dtype(o):
+            ok = np.isclose(s.astype(float), o.astype(float),
+                            rtol=rtol, atol=atol, equal_nan=True).all()
+        else:
+            ok = (s.astype(str) == o.astype(str)).all()
+        if not ok:
+            bad = ~(np.isclose(s.astype(float), o.astype(float), rtol=rtol,
+                               atol=atol, equal_nan=True)
+                    if pd.api.types.is_float_dtype(s) or pd.api.types.is_float_dtype(o)
+                    else (s.astype(str) == o.astype(str)))
+            i = int(np.argmax(bad.to_numpy()))
+            print(f"FAIL {name}: column {c} differs at row {i}: "
+                  f"spark={s.iloc[i]} py={o.iloc[i]}")
+            return False
+    print(f"OK   {name}: {len(sdf)} rows (py-oracle)")
+    return True
 
 if __name__ == "__main__":
     sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)

@@ -1,0 +1,320 @@
+"""Independent python oracles for the driver queries whose semantics DuckDB
+SQL cannot express (exact-test p-values, t/F cutoffs, REML optimization,
+the custom simhash expression).
+
+Each oracle recomputes the query result from the raw parquet tables using
+tools/pystats.py (pure-python CDFs / exact tests) and numpy — no Spark, no
+JVM. compare_oracle.py runs them for the queries listed in PY_ORACLES and
+compares against the Spark parquet dumps (exact on ints/strings/bools,
+relative tolerance on floats — the two stacks' special-function
+implementations agree to ~1e-12, the tolerance covers float-sum ordering).
+"""
+import math
+import numpy as np
+import pandas as pd
+
+import pystats as st
+
+
+def _read(con, sf_dir, table):
+    return con.sql(f"SELECT * FROM '{sf_dir}/{table}.parquet'").df()
+
+
+# ---------------------------------------------------------------- q31
+def q31_simhash(con, sf_dir):
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 100 ORDER BY doc_id").df()
+    rows = []
+    for _, r in docs.iterrows():
+        text = r["text"]
+        pos = text.find(" ")
+        sub = text if pos < 0 else text[pos + 1:]
+        h1 = st.simhash64(text)
+        h2 = st.simhash64(sub)
+        ham = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+        rows.append((int(r["doc_id"]), h1, ham))
+    return (pd.DataFrame(rows, columns=["doc_id", "simhash", "hamming_to_neardup"]),
+            dict(keys=["doc_id"], rtol=0.0))
+
+
+# ---------------------------------------------------------------- q47
+def q47_fisher(con, sf_dir):
+    counts = con.sql(
+        f"SELECT source AS grp, lang AS value, count(*) AS cnt "
+        f"FROM '{sf_dir}/documents.parquet' "
+        "WHERE lang IN ('en','de') AND source IS NOT NULL AND lang IS NOT NULL "
+        "GROUP BY 1, 2").df()
+    grps = sorted(counts.grp.unique())
+    vals = sorted(counts.value.unique())
+    c = {(g, v): 0 for g in grps for v in vals}
+    for _, r in counts.iterrows():
+        c[(r.grp, r.value)] = int(r.cnt)
+    n_panel = sum(c.values())
+    val_tot = {v: sum(c[(g, v)] for g in grps) for v in vals}
+    grp_tot = {g: sum(c[(g, v)] for v in vals) for g in grps}
+    df_stat = len(vals) - 1
+    out = []
+    for g in grps:
+        ng = grp_tot[g]
+        if not (ng > 0 and df_stat >= 1 and n_panel > ng):
+            continue
+        stat = 0.0
+        row1, row2 = [], []
+        for v in vals:
+            o1 = float(c[(g, v)])
+            o2 = float(val_tot[v] - c[(g, v)])
+            e1 = ng * val_tot[v] / n_panel
+            e2 = (n_panel - ng) * val_tot[v] / n_panel
+            if e1 > 0:
+                stat += (o1 - e1) ** 2 / e1
+            if e2 > 0:
+                stat += (o2 - e2) ** 2 / e2
+            row1.append(round(o1))
+            row2.append(round(o2))
+        p = st.fisher_2xc(row1, row2)
+        if p is None:  # over the enumeration budget -> chisq fallback
+            p = st.chi2_sf(stat, df_stat)
+        out.append([g, stat, p])
+    ps = [r[2] for r in out]
+    ph = st.holm(ps)
+    return (pd.DataFrame(
+        [[g, round(s, 6), round(p, 9), round(h, 9)]
+         for (g, s, p), h in zip(out, ph)],
+        columns=["grp", "stat", "p_fisher", "p_holm"]),
+        dict(keys=["grp"], rtol=1e-6))
+
+
+# ------------------------------------------------------- OLS helpers
+def _ols_rowstats(X, y):
+    """Per-row (resid, leverage, rstudent, cookd) + (dfe, s2, rank) via the
+    standard hat-matrix formulas."""
+    n, p = X.shape
+    xtx = X.T @ X
+    # pseudo-inverse tolerates rank deficiency like the engine's solver
+    A = np.linalg.pinv(xtx)
+    rank = int(np.linalg.matrix_rank(xtx))
+    beta = A @ (X.T @ y)
+    resid = y - X @ beta
+    dfe = float(n - rank)
+    sse = float(resid @ resid)
+    s2 = sse / dfe if dfe > 0 else float("nan")
+    h = np.einsum("ij,jk,ik->i", X, A, X)
+    h = np.clip(h, 0.0, 1.0 - 1e-12)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s2i = (dfe * s2 - resid ** 2 / (1.0 - h)) / (dfe - 1.0)
+        rstudent = np.where(
+            (dfe <= 1) | np.isnan(s2) | (s2i <= 0), np.nan,
+            resid / np.sqrt(s2i * (1.0 - h)))
+        cookd = np.where(
+            np.isnan(s2) | (s2 <= 0), np.nan,
+            resid ** 2 * h / (rank * s2 * (1.0 - h) ** 2))
+    return resid, h, rstudent, cookd, dfe, s2, rank
+
+
+# ---------------------------------------------------------------- q48
+def q48_regression_outlier(con, sf_dir):
+    li = con.sql(
+        f"SELECT l_returnflag, l_extendedprice, l_quantity "
+        f"FROM '{sf_dir}/lineitem.parquet' "
+        "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL").df()
+    out = []
+    for g, gdf in li.groupby("l_returnflag"):
+        y = gdf.l_extendedprice.to_numpy(dtype=float)
+        X = np.column_stack([np.ones(len(gdf)), gdf.l_quantity.to_numpy(dtype=float)])
+        _, _, rstudent, cookd, dfe, _, _ = _ols_rowstats(X, y)
+        cut = st.t_inv(0.999, dfe - 1) if dfe > 1 else float("nan")
+        flag_rs = (~np.isnan(rstudent)) & (np.abs(rstudent) >= cut)
+        flag_cd = (~np.isnan(cookd)) & (cookd > 7.0 / len(gdf))
+        n_out = int((flag_rs | flag_cd).sum())
+        out.append([str(g), "rstudent_outliers", float(n_out), len(gdf), n_out == 0])
+    return (pd.DataFrame(out,
+        columns=["partition", "metric", "stat", "n_obs", "pass"]),
+        dict(keys=["partition"], rtol=1e-9))
+
+
+# -------------------------------------------------- varcomp helpers
+def _mom_estimate(groups):
+    """ANOVA method-of-moments (sigma_b2, sigma_e2) from per-subject
+    (n, sum, sumsq) triples — the engine's distributed arithmetic."""
+    k = len(groups)
+    n = sum(g[0] for g in groups)
+    if k == 0 or n == 0:
+        return float("nan"), float("nan")
+    grand = sum(g[1] for g in groups) / n
+    ssw = sum(g[2] - g[1] ** 2 / g[0] for g in groups if g[0] > 0)
+    ssb = sum(g[0] * (g[1] / g[0] - grand) ** 2 for g in groups if g[0] > 0)
+    sum_ni2 = sum(float(g[0]) ** 2 for g in groups)
+    msw = ssw / (n - k) if n - k > 0 else float("nan")
+    msb = ssb / (k - 1) if k > 1 else float("nan")
+    n0 = (n - sum_ni2 / n) / (k - 1) if k > 1 else float("nan")
+    sb2 = max(0.0, (msb - msw) / n0) if (k > 1 and n0 > 0 and msb == msb and msw == msw) else 0.0
+    return sb2, msw
+
+
+def _whiten(r, rsum, n_grp, sb2, se2):
+    se = math.sqrt(se2) if se2 == se2 and se2 > 0 else float("nan")
+    if n_grp <= 0 or se != se or se <= 0:
+        return np.full_like(r, np.nan)
+    a = 1.0 / se
+    b = (1.0 / math.sqrt(se2 + n_grp * sb2) - a) / n_grp
+    return a * r + b * rsum
+
+
+# ---------------------------------------------------------------- q49
+def q49_group_variance(con, sf_dir):
+    li = con.sql(
+        f"SELECT l_returnflag AS grp, l_quantity AS y "
+        f"FROM '{sf_dir}/lineitem.parquet' "
+        "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL").df()
+    y = li.y.to_numpy(dtype=float)
+    resid = y - y.mean()
+    li = li.assign(r=resid)
+    subj = [(len(g), g.r.sum(), (g.r ** 2).sum()) for _, g in li.groupby("grp")]
+    sb2, se2 = _mom_estimate(subj)
+    parts = {}
+    for g, gdf in li.groupby("grp"):
+        parts[g] = _whiten(gdf.r.to_numpy(), gdf.r.sum(), len(gdf), sb2, se2)
+    grps = sorted(parts)
+    out = []
+    for cmp_g in grps:
+        inside = parts[cmp_g]
+        rest = np.concatenate([parts[g] for g in grps if g != cmp_g])
+        z_in = np.abs(inside - np.median(inside))
+        z_out = np.abs(rest - np.median(rest))
+        n = len(z_in) + len(z_out)
+        grand = (z_in.sum() + z_out.sum()) / n
+        ssb = (len(z_in) * (z_in.mean() - grand) ** 2 +
+               len(z_out) * (z_out.mean() - grand) ** 2)
+        ssw = (((z_in - z_in.mean()) ** 2).sum() +
+               ((z_out - z_out.mean()) ** 2).sum())
+        dfw = float(n - 2)
+        f = (ssb / 1.0) / (ssw / dfw) if ssw > 0 else float("inf")
+        p = st.f_sf(f, 1.0, dfw)
+        out.append([cmp_g, n, f, p])
+    ph = st.holm([r[3] for r in out])
+    return (pd.DataFrame(
+        [[g, n, round(f, 6), round(h, 9)] for (g, n, f, _), h in zip(out, ph)],
+        columns=["cmp", "n", "f_stat", "p_holm"]),
+        # engine medians are percentile_approx sketches (rank error <=
+        # n/50000): compare the F statistic loosely, and p via rtol
+        dict(keys=["cmp"], rtol=5e-3))
+
+
+# ---------------------------------------------------------------- q50
+def q50_longitudinal_outlier(con, sf_dir):
+    ev = con.sql(
+        f"SELECT user_id, value FROM '{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL").df()
+    y = ev.value.to_numpy(dtype=float)
+    resid = y - y.mean()
+    ev = ev.assign(r=resid)
+    subj = [(len(g), g.r.sum(), (g.r ** 2).sum()) for _, g in ev.groupby("user_id")]
+    sb2, se2 = _mom_estimate(subj)
+    dfe = float(len(ev) - 1)
+    cut = st.t_inv(0.99, dfe - 1, sas_low_df_workaround=True)
+    n_flag = 0
+    for _, g in ev.groupby("user_id"):
+        rs = _whiten(g.r.to_numpy(), g.r.sum(), len(g), sb2, se2)
+        if cut == cut:
+            n_flag += int((~np.isnan(rs) & (np.abs(rs) >= cut)).sum())
+    return (pd.DataFrame(
+        [["", "longitudinal_outliers", float(n_flag), len(ev), n_flag == 0]],
+        columns=["partition", "metric", "stat", "n_obs", "pass"]),
+        dict(keys=["partition"], rtol=1e-9))
+
+
+# ---------------------------------------------------------------- q56
+def _reml(size_stats):
+    """Profile REML for the intercept-only random-effects model from
+    (n, k, sum_s, sum_s2, sum_ss) size classes — independent optimizer
+    (log-lambda grid + ternary refinement) over the published profile
+    restricted likelihood."""
+    k = sum(s[1] for s in size_stats)
+    n = sum(s[0] * s[1] for s in size_stats)
+    if n == k:
+        return 0.0, float("nan"), k, n
+    if k == 1:
+        s = size_stats[0]
+        return 0.0, (s[4] - s[3] / s[0]) / (n - 1), k, n
+
+    def neg2lr(lam):
+        sw_s = sw_nk = 0.0
+        for (sn, sk, ss_, ss2, ssq) in size_stats:
+            w = 1.0 / (1.0 + sn * lam)
+            sw_s += w * ss_
+            sw_nk += w * sn * sk
+        mu = sw_s / sw_nk if sw_nk > 0 else 0.0
+        q = logdet = 0.0
+        for (sn, sk, ss_, ss2, ssq) in size_stats:
+            w = 1.0 / (1.0 + sn * lam)
+            centered = ssq - 2 * mu * ss_ + sk * sn * mu * mu
+            sq = ss2 - 2 * sn * mu * ss_ + sk * float(sn) * sn * mu * mu
+            q += centered - lam * w * sq
+            logdet += sk * math.log1p(sn * lam)
+        if q <= 0:
+            return float("inf")
+        return (n - 1) * math.log(q) + logdet + math.log(sw_nk)
+
+    grid = [0.0] + [math.exp(t / 4.0) for t in range(-80, 81)]
+    best = min(grid, key=neg2lr)
+    if best == 0.0:
+        lam_hat = 0.0
+    else:
+        i = grid.index(best)
+        lo = math.log(grid[max(1, i - 1)] if i > 1 else 1e-19)
+        hi = math.log(grid[min(len(grid) - 1, i + 1)])
+        for _ in range(300):
+            m1 = lo + (hi - lo) / 3
+            m2 = hi - (hi - lo) / 3
+            if neg2lr(math.exp(m1)) < neg2lr(math.exp(m2)):
+                hi = m2
+            else:
+                lo = m1
+        lam_hat = math.exp(0.5 * (lo + hi))
+        if neg2lr(0.0) < neg2lr(lam_hat):
+            lam_hat = 0.0
+    sw_s = sw_nk = 0.0
+    for (sn, sk, ss_, ss2, ssq) in size_stats:
+        w = 1.0 / (1.0 + sn * lam_hat)
+        sw_s += w * ss_
+        sw_nk += w * sn * sk
+    mu = sw_s / sw_nk if sw_nk > 0 else 0.0
+    q = 0.0
+    for (sn, sk, ss_, ss2, ssq) in size_stats:
+        w = 1.0 / (1.0 + sn * lam_hat)
+        q += (ssq - 2 * mu * ss_ + sk * sn * mu * mu
+              - lam_hat * w * (ss2 - 2 * sn * mu * ss_ + sk * float(sn) * sn * mu * mu))
+    se2 = q / (n - 1)
+    return lam_hat * se2, se2, k, n
+
+
+def q56_reml_varcomp(con, sf_dir):
+    ev = con.sql(
+        f"SELECT user_id, count(*) AS n, sum(value) AS s, "
+        f"sum(value * value) AS ss FROM '{sf_dir}/events.parquet' "
+        "GROUP BY 1").df()
+    classes = {}
+    for _, r in ev.iterrows():
+        cl = classes.setdefault(int(r.n), [0, 0.0, 0.0, 0.0])
+        cl[0] += 1
+        cl[1] += r.s
+        cl[2] += r.s * r.s
+        cl[3] += r.ss
+    stats = [(n, c[0], c[1], c[2], c[3]) for n, c in classes.items()]
+    sb2, se2, k, n = _reml(stats)
+    return (pd.DataFrame(
+        [["all", round(sb2, 6), round(se2, 6), k, n]],
+        columns=["scope", "sigma_b2", "sigma_e2", "k_subjects", "n_rows"]),
+        # independent optimizer on a flat profile surface: ~1e-4 relative
+        dict(keys=["scope"], rtol=1e-3, atol=1e-6))
+
+
+PY_ORACLES = {
+    "q31_simhash": q31_simhash,
+    "q47_fisher_consistency": q47_fisher,
+    "q48_regression_outlier": q48_regression_outlier,
+    "q49_group_variance": q49_group_variance,
+    "q50_longitudinal_outlier": q50_longitudinal_outlier,
+    "q56_reml_varcomp": q56_reml_varcomp,
+}
