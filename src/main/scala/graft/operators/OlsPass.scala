@@ -46,10 +46,21 @@ object OlsPass {
         levels.map(l => when(col(v).cast("string") === l, 1.0).otherwise(0.0))
       }
 
+  /** Raw per-scope sufficient statistics retained alongside the fit —
+    * the FGLS refit reuses them (β_gls solves an adjusted version of the
+    * same normal equations; the SSE at β_gls is a closed form in them). */
+  final case class RawStats(n: Long, sy: Double, syy: Double,
+      sxy: Array[Double], sxx: Array[Double])
+
   /** Pass 1 + driver solve: per-scope-group OLS fits.
     * @return map from scope-key string to fit. */
   def fitPerGroup(df: DataFrame, outcome: String, d: Design,
-      scope: Seq[String]): Map[String, Ols.Fit] = {
+      scope: Seq[String]): Map[String, Ols.Fit] =
+    fitPerGroupRaw(df, outcome, d, scope).map { case (k, (_, f)) => k -> f }
+
+  /** Like `fitPerGroup` but also returns the raw sufficient statistics. */
+  def fitPerGroupRaw(df: DataFrame, outcome: String, d: Design,
+      scope: Seq[String]): Map[String, (RawStats, Ols.Fit)] = {
     val y = col(outcome).cast("double")
     val xs = featureCols(d)
     val p = d.p
@@ -82,7 +93,7 @@ object OlsPass {
         val v = row.getDouble(idx); idx += 1
         sxx(i * p + j) = v; sxx(j * p + i) = v
       }
-      key -> Ols.solve(n, sy, syy, sxy, sxx)
+      key -> (RawStats(n, sy, syy, sxy, sxx), Ols.solve(n, sy, syy, sxy, sxx))
     }.toMap
   }
 
