@@ -119,7 +119,10 @@ final case class GroupVarianceCheck(
       * method-of-moments, fully distributed, the scale default) or "reml"
       * (exact profile REML — PROC MIXED's default method, matching the
       * reference's vciry source, groupComparisons.sas:393-401). */
-    method: String = "mom") extends Check
+    method: String = "mom",
+    /** One feasible-GLS iteration on the fixed effects (see
+      * LongitudinalOutlierCheck.fgls). */
+    fgls: Boolean = false) extends Check
 
 /** Regression-outlier check — re-expression of %univariatePlot /
   * %bivariatePlot: OLS per scope group, flag |rStudent| >= tinv(cutoff)
@@ -153,7 +156,12 @@ final case class LongitudinalOutlierCheck(
       * fully distributed, the scale default) or "reml" (exact profile
       * REML matching PROC MIXED's default method — longitudinalPlot.sas:
       * 423-442 — driver optimization over GUARDED per-size classes). */
-    method: String = "mom") extends Check
+    method: String = "mom",
+    /** One feasible-GLS iteration: re-estimate the fixed effects with the
+      * variance-component-weighted normal equations (PROC MIXED fits them
+      * jointly; this closes most of that gap on unbalanced data at the
+      * cost of one extra distributed pass). */
+    fgls: Boolean = false) extends Check
 
 /** Distribution drift across time windows (north rule): equal-width
   * histogram of `column` per `interval` window of `dateCol`; chi-square +

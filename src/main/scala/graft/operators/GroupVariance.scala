@@ -27,20 +27,34 @@ object GroupVariance {
   def scaledResiduals(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
     val d = OlsPass.design(df, check.contCovariates, check.discCovariates)
     val base = df.filter(col(check.groupCol).isNotNull)
-    val fits = OlsPass.fitPerGroup(base, check.outcome, d, check.scope)
-    val withResid = OlsPass.rowStats(base, check.outcome, d, check.scope, fits)
+    val rawFits = OlsPass.fitPerGroupRaw(base, check.outcome, d, check.scope)
     // per-(scope, group) sufficient stats → variance components per scope,
     // entirely distributed (round-1 fix: no group-proportional collect);
     // whitening is column arithmetic over the broadcast-joined estimates.
-    val subjStats = withResid
+    def subjStatsOf(fr: DataFrame) = fr
       .groupBy(col("__key"), col(check.groupCol).cast("string").as("__grp"))
       .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
     // method="reml" mirrors LongitudinalOutlier: exact profile REML (the
     // PROC MIXED default the reference's vciry residuals come from); MoM
     // stays the fully distributed scale default — same output schema.
-    val est =
-      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(subjStats)
-      else VarComp.estimates(subjStats)
+    def estOf(ss: DataFrame) =
+      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(ss)
+      else VarComp.estimates(ss)
+    val olsFits = rawFits.map { case (k, (_, f)) => k -> f }
+    val withResid0 = OlsPass.rowStats(base, check.outcome, d, check.scope, olsFits)
+    val est0 = estOf(subjStatsOf(withResid0))
+    // fgls: β re-estimated by GLS under est0, residuals + components
+    // recomputed — one joint-estimation alternation (groupComparisons.sas
+    // inherits PROC MIXED's joint fit through the vciry residuals)
+    val (withResid, est) =
+      if (!check.fgls) (withResid0, est0)
+      else {
+        val keyed = OlsPass.withKey(base, check.outcome, d, check.scope)
+        val glsFits = graft.stats.Fgls.refit(keyed, check.outcome, d,
+          check.groupCol, rawFits.map { case (k, (r, _)) => k -> r }, est0)
+        val wr = OlsPass.rowStats(base, check.outcome, d, check.scope, glsFits)
+        (wr, estOf(subjStatsOf(wr)))
+      }
     val wGrp = Window.partitionBy(col("__key"), col(check.groupCol))
     withResid
       .withColumn("__grp", col(check.groupCol).cast("string"))

@@ -23,20 +23,35 @@ object LongitudinalOutlier {
     val spark = df.sparkSession
     import spark.implicits._
     val d = OlsPass.design(df, check.contCovariates, check.discCovariates)
-    val fits = OlsPass.fitPerGroup(df, check.outcome, d, check.scope)
-    val withResid = OlsPass.rowStats(df, check.outcome, d, check.scope, fits)
+    val rawFits = OlsPass.fitPerGroupRaw(df, check.outcome, d, check.scope)
     // per-(scope, subject) sufficient stats → variance components per scope,
     // all distributed: the second aggregation collapses 10^8+ subjects into
     // one row per scope BEFORE anything leaves the executors (round-1 fix:
     // no subject-proportional collect).
-    val subjStats = withResid.groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
-      .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
+    def subjStatsOf(fr: DataFrame) =
+      fr.groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
+        .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
     // method=reml is the PROC MIXED default-parity path (exact profile
     // REML, guarded per-size-class collect); mom is the fully distributed
     // scale default — both emit the same (σ²_b, σ²_e)-per-scope schema.
-    val est =
-      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(subjStats)
-      else VarComp.estimates(subjStats)
+    def estOf(ss: DataFrame) =
+      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(ss)
+      else VarComp.estimates(ss)
+    val olsFits = rawFits.map { case (k, (_, f)) => k -> f }
+    val withResid0 = OlsPass.rowStats(df, check.outcome, d, check.scope, olsFits)
+    val est0 = estOf(subjStatsOf(withResid0))
+    // fgls: one more alternation — β re-estimated by GLS under est0, then
+    // residuals and variance components recomputed under β_gls (the PROC
+    // MIXED joint-estimation step, longitudinalPlot.sas:423-442)
+    val (fits, withResid, est) =
+      if (!check.fgls) (olsFits, withResid0, est0)
+      else {
+        val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
+        val glsFits = graft.stats.Fgls.refit(keyed, check.outcome, d,
+          check.idCol, rawFits.map { case (k, (r, _)) => k -> r }, est0)
+        val wr = OlsPass.rowStats(df, check.outcome, d, check.scope, glsFits)
+        (glsFits, wr, estOf(subjStatsOf(wr)))
+      }
     // per-scope t cutoff with the SAS low-df workaround mirrored exactly
     // (longitudinalPlot.sas:453-456); fits is already driver-side and
     // MaxGroups-guarded, so this frame is one tiny row per scope.

@@ -26,6 +26,9 @@ object OlsPass {
 
   val MaxLevels = 1000
 
+  /** Driver guard: max scope groups any pass-1-style collect may return. */
+  val MaxGroups = 100000
+
   /** Probe class-variable levels (driver-side, tiny). Drops the last level
     * per variable — the GLM reference cell, like SAS's g2 parameterization. */
   def design(df: DataFrame, contVars: Seq[String], discVars: Seq[String]): Design = {
@@ -75,7 +78,6 @@ object OlsPass {
     // the collected frame is one ~p²-double row per scope group — guard the
     // driver against an unbounded scope (same role as the reference's
     // by-value cardinality assumptions)
-    val MaxGroups = 100000
     val stats = grouped.agg(sums.head, sums.tail: _*).limit(MaxGroups + 1).collect()
     require(stats.length <= MaxGroups,
       s"OLS scope ${scope.mkString(",")} exceeds $MaxGroups groups — " +
@@ -115,12 +117,18 @@ object OlsPass {
     * allocation (round-1 fix). */
   def rowStats(df: DataFrame, outcome: String, d: Design,
       scope: Seq[String], fits: Map[String, Ols.Fit]): DataFrame = {
+    val filtered = withKey(df, outcome, d, scope)
+    if (d.p <= MaxUnrollP) rowStatsUnrolled(filtered, outcome, d, fits)
+    else rowStatsUdf(filtered, outcome, d, fits)
+  }
+
+  /** Complete-cases frame with the `__key` scope column — the common
+    * input of the row pass and the FGLS subject-sums pass. */
+  def withKey(df: DataFrame, outcome: String, d: Design, scope: Seq[String]): DataFrame = {
     val keyCol =
       if (scope.isEmpty) lit("")
       else concat_ws("/", scope.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
-    val filtered = completeCasesSimple(df, outcome, d).withColumn("__key", keyCol)
-    if (d.p <= MaxUnrollP) rowStatsUnrolled(filtered, outcome, d, fits)
-    else rowStatsUdf(filtered, outcome, d, fits)
+    completeCasesSimple(df, outcome, d).withColumn("__key", keyCol)
   }
 
   /** Codegen path: same arithmetic (and operation order) as Ols.rowStats. */
