@@ -85,13 +85,13 @@ object Bench {
     val pages = Pages.generate(spark, nPages, numPartitions = cpus.toInt * 4)
     results("pages_generate") = time(pages.cache().count())
     val suiteSec = time {
-      // scope releases the run's operator caches once both outputs are
+      // scope releases the run's operator caches once the output is
       // materialized — the long-lived-session hygiene the resumable path
-      // gets per unit
+      // gets per unit. Verdicts + violations ride ONE action (union with a
+      // kind column) so the ~50 reduced-frame stages schedule once.
       graft.engine.CacheTracker.scope {
-        val res = Runner.run(pages, Flagship.suite(spark))
-        res.verdicts.write.format("noop").mode("overwrite").save()
-        res.violations.write.format("noop").mode("overwrite").save()
+        Runner.run(pages, Flagship.suite(spark))
+          .unified.write.format("noop").mode("overwrite").save()
       }
     }
     results("validation_suite_pages") = suiteSec

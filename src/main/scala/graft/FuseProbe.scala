@@ -43,9 +43,8 @@ object FuseProbe {
       setKnobs(fused)
       spark.sharedState.cacheManager.clearCache() // fresh reduced-frame caches
       val t0 = System.nanoTime()
-      val res = Runner.run(pages, suite)
-      res.verdicts.write.format("noop").mode("overwrite").save()
-      res.violations.write.format("noop").mode("overwrite").save()
+      Runner.run(pages, suite)
+        .unified.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     runOnce(true); runOnce(false) // warmup both paths (untimed)

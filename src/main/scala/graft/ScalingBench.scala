@@ -52,9 +52,8 @@ object ScalingBench {
         if (cacheInput)
           pages.cache().count() // input materialized — timing excludes generation
         val t0 = System.nanoTime()
-        val res = Runner.run(pages, Flagship.suite(spark))
-        res.verdicts.write.format("noop").mode("overwrite").save()
-        res.violations.write.format("noop").mode("overwrite").save()
+        Runner.run(pages, Flagship.suite(spark))
+          .unified.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } finally spark.stop()
     }

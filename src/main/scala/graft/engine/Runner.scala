@@ -28,7 +28,18 @@ object Runner {
       refTables: Map[String, DataFrame] = Map.empty,
       keyCol: String = "url")
 
-  final case class RunResult(verdicts: DataFrame, violations: DataFrame)
+  final case class RunResult(verdicts: DataFrame, violations: DataFrame) {
+    /** Both outputs as ONE frame — a `kind` discriminator column over the
+      * union (missing columns null-filled). Materializing this is ONE
+      * Spark action instead of two: the ~50 reduced-frame stages schedule
+      * once, and any shared-but-uncached lineage executes once. Sinks that
+      * need separate tables write with `.partitionBy("kind")` — still one
+      * action. */
+    def unified: DataFrame =
+      verdicts.withColumn("kind", lit("verdict"))
+        .unionByName(violations.withColumn("kind", lit("violation")),
+          allowMissingColumns = true)
+  }
 
   def run(df: DataFrame, suite: Suite): RunResult = {
     val spark = df.sparkSession

@@ -115,6 +115,16 @@ class EngineSpec extends SparkSpec {
       "read-back must be restricted to units present in the current input")
   }
 
+  test("unified output is the union of verdicts and violations under one kind column") {
+    val res = Runner.run(pages, Flagship.suite(spark))
+    val u = res.unified.cache()
+    try {
+      assert(u.filter(col("kind") === "verdict").count() == res.verdicts.count())
+      assert(u.filter(col("kind") === "violation").count() == res.violations.count())
+      assert(u.count() == res.verdicts.count() + res.violations.count())
+    } finally u.unpersist()
+  }
+
   test("resumable run releases every unit-scoped cache (cache lifecycle)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cache-life").toString
     val input = Pages.generate(spark, 8000).withColumn("quarter",
