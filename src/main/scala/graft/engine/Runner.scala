@@ -154,8 +154,8 @@ object Runner {
         val f = LongitudinalOutlier.flagged(input, c)
         (LongitudinalOutlier.verdictsFrom(f, c), LongitudinalOutlier.violationsFrom(f, c))
       case c: DriftCheck =>
-        (Drift.verdicts(input, c, cellPre.get(c.id)),
-          Drift.violations(input, c, cellPre.get(c.id)))
+        val t = Drift.tests(input, c, cellPre.get(c.id))
+        (Drift.verdictsFrom(t, c), Drift.violationsFrom(t, c))
       case c: ByteIdentityCheck =>
         (ByteIdentity.verdicts(input, c, shared = byteShared(c)),
           ByteIdentity.violations(input, c, shared = byteShared(c)))

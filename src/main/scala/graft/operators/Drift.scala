@@ -132,8 +132,12 @@ object Drift {
   }
 
   def verdicts(df: DataFrame, check: DriftCheck,
-      pre: Option[DataFrame] = None): DataFrame = {
-    val t = tests(df, check, pre)
+      pre: Option[DataFrame] = None): DataFrame =
+    verdictsFrom(tests(df, check, pre), check)
+
+  /** Verdicts from a prebuilt `tests` frame — lets the Runner build the
+    * tests lineage ONCE for both outputs (GroupVariance pattern). */
+  def verdictsFrom(t: DataFrame, check: DriftCheck): DataFrame = {
     val framed = t.select(
       concat_ws("/",
         (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) :+
@@ -148,8 +152,11 @@ object Drift {
   }
 
   def violations(df: DataFrame, check: DriftCheck,
-      pre: Option[DataFrame] = None): DataFrame = {
-    val t = tests(df, check, pre).filter(!col("pass"))
+      pre: Option[DataFrame] = None): DataFrame =
+    violationsFrom(tests(df, check, pre), check)
+
+  def violationsFrom(testsFrame: DataFrame, check: DriftCheck): DataFrame = {
+    val t = testsFrame.filter(!col("pass"))
     val v = t.select(
       col("panel").as("key"),
       concat_ws("/",
