@@ -71,6 +71,35 @@ object LongitudinalOutlier {
       .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
   }
 
+  /** Per-scope model summary: OLS and feasible-GLS fixed effects plus the
+    * variance components the GLS step used — the inspectable face of the
+    * fgls path (one tiny row per scope; the β_gls here is exactly what
+    * `flagged(fgls = true)` recomputes residuals with). */
+  def modelSummary(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = OlsPass.design(df, check.contCovariates, check.discCovariates)
+    val rawFits = OlsPass.fitPerGroupRaw(df, check.outcome, d, check.scope)
+    val olsFits = rawFits.map { case (k, (_, f)) => k -> f }
+    val withResid = OlsPass.rowStats(df, check.outcome, d, check.scope, olsFits)
+    val subjStats = withResid
+      .groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
+      .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
+    val est =
+      if (check.method.equalsIgnoreCase("reml")) VarComp.remlEstimates(subjStats)
+      else VarComp.estimates(subjStats)
+    val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
+    val gls = graft.stats.Fgls.refit(keyed, check.outcome, d, check.idCol,
+      rawFits.map { case (k, (r, _)) => k -> r }, est)
+    val comps = est.select(col("__key"), col("sigma_b2"), col("sigma_e2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    olsFits.toSeq.sortBy(_._1).map { case (k, ols) =>
+      val g = gls.getOrElse(k, ols)
+      val (sb2, se2) = comps.getOrElse(k, (Double.NaN, Double.NaN))
+      (k, ols.beta.toSeq, g.beta.toSeq, sb2, se2, ols.n)
+    }.toDF("partition", "beta_ols", "beta_gls", "sigma_b2", "sigma_e2", "n_rows")
+  }
+
   def verdicts(df: DataFrame, check: LongitudinalOutlierCheck): DataFrame =
     verdictsFrom(flagged(df, check), check)
 

@@ -174,6 +174,34 @@ object OperatorQueries {
                round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS row_pct
              FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // M4 joint-estimation step: OLS vs feasible-GLS fixed effects (value ~
+    // day, random intercept per user) — checked against an independent
+    // DENSE textbook GLS (numpy per-subject V inversion) in the python
+    // oracle; the engine path never materializes any V
+    QuerySpec("q59_fgls_model",
+      (s, dir) => {
+        // centered day index: raw epoch-days (~19723) are near-collinear
+        // with the intercept, which would make the comparison
+        // conditioning-bound instead of semantics-bound
+        // ts is TIMESTAMP_NTZ in the fixture: cast through LTZ (session tz
+        // is UTC) to get epoch seconds, matching DuckDB's epoch(ts)
+        val ev = read(s, dir, "events")
+          .withColumn("t_day",
+            col("ts").cast("timestamp_ltz").cast("double") / 86400.0 - 19723.0)
+        LongitudinalOutlier.modelSummary(ev,
+          LongitudinalOutlierCheck("fg", "value", "user_id",
+            contCovariates = Seq("t_day")))
+          .select(col("partition"),
+            round(element_at(col("beta_ols"), 1), 6).as("b0_ols"),
+            round(element_at(col("beta_ols"), 2), 6).as("b1_ols"),
+            round(element_at(col("beta_gls"), 1), 6).as("b0_gls"),
+            round(element_at(col("beta_gls"), 2), 6).as("b1_gls"),
+            round(col("sigma_b2"), 6).as("sigma_b2"),
+            round(col("sigma_e2"), 6).as("sigma_e2"),
+            col("n_rows"))
+      },
+      None),
+
     // Exact-dup drop-list operator (keep-min-id policy)
     QuerySpec("q53_dedup_droplist",
       (s, dir) => {

@@ -310,7 +310,44 @@ def q56_reml_varcomp(con, sf_dir):
         dict(keys=["scope"], rtol=1e-3, atol=1e-6))
 
 
+# ---------------------------------------------------------------- q59
+def q59_fgls_model(con, sf_dir):
+    ev = con.sql(
+        f"SELECT user_id, epoch(ts) / 86400.0 - 19723.0 AS t_day, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL AND ts IS NOT NULL").df()
+    y = ev.value.to_numpy(dtype=float)
+    X = np.column_stack([np.ones(len(ev)), ev.t_day.to_numpy(dtype=float)])
+    beta_ols, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta_ols
+    ev = ev.assign(r=resid)
+    subj = [(len(g), g.r.sum(), (g.r ** 2).sum()) for _, g in ev.groupby("user_id")]
+    sb2, se2 = _mom_estimate(subj)
+    # DENSE textbook GLS: per-subject V_i = se2 I + sb2 J inverted with
+    # numpy (independent of the engine's sufficient-statistics identity)
+    p = 2
+    xtvx = np.zeros((p, p))
+    xtvy = np.zeros(p)
+    for _, g in ev.groupby("user_id"):
+        n = len(g)
+        V = se2 * np.eye(n) + sb2 * np.ones((n, n))
+        Vi = np.linalg.inv(V)
+        Xi = np.column_stack([np.ones(n), g.t_day.to_numpy(dtype=float)])
+        yi = g.value.to_numpy(dtype=float)
+        xtvx += Xi.T @ Vi @ Xi
+        xtvy += Xi.T @ Vi @ yi
+    beta_gls = np.linalg.solve(xtvx, xtvy)
+    return (pd.DataFrame(
+        [["", round(beta_ols[0], 6), round(beta_ols[1], 6),
+          round(beta_gls[0], 6), round(beta_gls[1], 6),
+          round(sb2, 6), round(se2, 6), len(ev)]],
+        columns=["partition", "b0_ols", "b1_ols", "b0_gls", "b1_gls",
+                 "sigma_b2", "sigma_e2", "n_rows"]),
+        dict(keys=["partition"], rtol=1e-5, atol=1e-6))
+
+
 PY_ORACLES = {
+    "q59_fgls_model": q59_fgls_model,
     "q31_simhash": q31_simhash,
     "q47_fisher_consistency": q47_fisher,
     "q48_regression_outlier": q48_regression_outlier,
