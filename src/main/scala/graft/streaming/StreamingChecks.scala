@@ -55,6 +55,23 @@ object StreamingChecks {
       .select(col("w.start").as("window_start"), col("grp"), col("value"), col("cnt"))
   }
 
+  /** Streaming exact-dedup: keep the first arrival per normalized-text
+    * fingerprint within the watermark horizon — the continuous counterpart
+    * of `Dedup.exactDropList`'s keep-first policy for a crawl feed. State
+    * holds one entry per distinct fingerprint inside the horizon
+    * (`dropDuplicatesWithinWatermark`) and is evicted as event time
+    * advances, so state size is bounded by the horizon's fingerprint
+    * cardinality, never by stream length. On a batch frame the same call
+    * degrades to a plain dedup (streaming ≡ batch surface). */
+  def streamingDedup(pages: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 day"): DataFrame = {
+    val withFp = pages.withColumn("fp",
+      graft.functions.TextFunctions.fingerprint(col(textCol)))
+    if (withFp.isStreaming)
+      withFp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("fp")
+    else withFp.dropDuplicates("fp")
+  }
+
   /** Threshold verdicts over a profile stream: missing-fraction and range
     * bounds per window — append-mode safe (pure projection). */
   def profileVerdicts(profile: DataFrame, checkId: String,

@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup keeps first arrival per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = stream.toDF().toDF("ts", "id", "text")
+    val deduped = StreamingChecks.streamingDedup(df, "ts", "text", "1 day")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-05 06:00:00")
+    stream.addData(Seq((t, "a", "same page"), (t, "b", "same page"), (t, "c", "other")))
+    q.processAllAvailable()
+    // duplicate arriving in a LATER micro-batch, still inside the horizon
+    stream.addData(Seq((t2, "d", "same page"), (t2, "e", "third")))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dedup").collect().map(_.getString(1)).toSet
+    assert(kept.intersect(Set("a", "b")).size == 1, s"one of the dups kept: $kept")
+    assert(!kept.contains("d"), "cross-batch duplicate inside the horizon dropped")
+    assert(kept.contains("c") && kept.contains("e"))
+    // batch surface: same call on a static frame dedups identically
+    val batchKept = StreamingChecks.streamingDedup(
+      Seq((t, "a", "same page"), (t2, "d", "same page"), (t2, "e", "third"))
+        .toDF("ts", "id", "text"), "ts", "text").count()
+    assert(batchKept == 2)
+  }
+
   test("windowed frequencies + verdicts run in append mode with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, String)]
