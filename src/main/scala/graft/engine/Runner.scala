@@ -134,12 +134,19 @@ object Runner {
           throw new IllegalArgumentException(s"missing refTable ${c.refTable}"))
         (Referential.verdicts(input, ref, c, suite.keyCol),
           Referential.violations(input, ref, c, suite.keyCol))
+      // build each reduced tests frame ONCE and cache it — verdicts +
+      // violations both consume it, and the Fisher-enumeration / Holm UDFs
+      // it carries are the expensive part of these reduced-frame stages
       case c: CategoricalConsistencyCheck =>
-        (CategoricalConsistency.verdicts(input, c, cellPre.get(c.id)),
-          CategoricalConsistency.violations(input, c, cellPre.get(c.id)))
+        val (t0, pair0) = CategoricalConsistency.surfaces(input, c, cellPre.get(c.id))
+        val t = CacheTracker.cached(t0)
+        val pair = pair0.map(CacheTracker.cached)
+        (CategoricalConsistency.verdictsFrom(t, pair, input, c, cellPre.get(c.id)),
+          CategoricalConsistency.violationsFrom(t, input, c, cellPre.get(c.id)))
       case c: DigitPreferenceCheck =>
-        (DigitPreference.verdicts(input, c, cellPre.get(c.id)),
-          DigitPreference.violations(input, c, cellPre.get(c.id)))
+        val t = CacheTracker.cached(DigitPreference.tests(input, c, cellPre.get(c.id)))
+        (DigitPreference.verdictsFrom(t, c),
+          DigitPreference.violationsFrom(t, input, c, cellPre.get(c.id)))
       // model families: build the (eager, Gram-collecting) tests/flagged
       // lineage ONCE and derive both outputs from it — separate
       // verdicts/violations calls would each re-run the driver-side OLS

@@ -295,13 +295,33 @@ object CategoricalConsistency {
       .select((keyCols.map(col) :+ col("z.rows.*") :+ col("z.adj").as("p_holm")): _*)
   }
 
-  def verdicts(df: DataFrame, check: CategoricalConsistencyCheck,
-      pre: Option[DataFrame] = None): DataFrame = {
-    // holmPooled reproduces the reference's exact multtest family (one-vs-
-    // rest + pairwise pooled per panel, :435-466); otherwise each surface
-    // is adjusted within its own family
+  /** Both adjusted surfaces (one-vs-rest + optional pairwise grid),
+    * computed ONCE — the Runner derives verdicts AND violations from
+    * these, so the Fisher enumeration / Holm UDFs over the reduced frames
+    * run once per suite run instead of once per output.
+    * holmPooled reproduces the reference's exact multtest family (one-vs-
+    * rest + pairwise pooled per panel, :435-466); otherwise each surface
+    * is adjusted within its own family. */
+  def surfaces(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): (DataFrame, Option[DataFrame]) = {
     val pooled = if (check.pairwise && check.holmPooled) Some(pooledTests(df, check, pre)) else None
     val t = pooled.map(_._1).getOrElse(tests(df, check, pre))
+    val pair =
+      if (!check.pairwise) None
+      else Some(pooled.map(_._2).getOrElse(pairwiseTests(df, check, pre)))
+    (t, pair)
+  }
+
+  def verdicts(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
+    val (t, pair) = surfaces(df, check, pre)
+    verdictsFrom(t, pair, df, check, pre)
+  }
+
+  /** Verdicts from prebuilt surfaces (see `surfaces`). */
+  def verdictsFrom(t: DataFrame, pairT: Option[DataFrame], df: DataFrame,
+      check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame = {
     val framed = t.select(
       concat_ws("/",
         (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
@@ -314,8 +334,10 @@ object CategoricalConsistency {
       col("n_grp").cast("long").as("n_obs"),
       (col("p_holm") >= check.alphaBar).as("pass"))
     // the reference's `_All_` overall bar (:317-340): one informational
-    // verdict row per panel carrying the all-groups-combined n
-    val overall = overallBar(df, check)
+    // verdict row per panel carrying the all-groups-combined n. MUST ride
+    // the fused cell counts (`pre`) like every other surface: without it
+    // this line re-scans the full input once per categorical check
+    val overall = overallBar(df, check, pre)
       .groupBy((check.scope :+ "panel").map(col): _*)
       .agg(first("panel_total").as("n_panel"))
       .select(
@@ -328,8 +350,8 @@ object CategoricalConsistency {
         lit(check.alphaBar).as("threshold"),
         col("n_panel").cast("long").as("n_obs"),
         lit(true).as("pass"))
-    val pair = if (!check.pairwise) None else Some {
-      pooled.map(_._2).getOrElse(pairwiseTests(df, check, pre)).select(
+    val pair = pairT.map { pt =>
+      pt.select(
         concat_ws("/",
           (check.scope.map(s => concat_ws("=", lit(s), col(s).cast("string"))) ++
             Seq(concat(lit("panel="), col("panel")),
@@ -349,11 +371,13 @@ object CategoricalConsistency {
   /** Violation rows: for every failing (panel, grp), its worst-deviating
     * category with observed vs expected row-percent. */
   def violations(df: DataFrame, check: CategoricalConsistencyCheck,
+      pre: Option[DataFrame] = None): DataFrame =
+    violationsFrom(surfaces(df, check, pre)._1, df, check, pre)
+
+  def violationsFrom(base: DataFrame, df: DataFrame,
+      check: CategoricalConsistencyCheck,
       pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel"
-    val base =
-      if (check.pairwise && check.holmPooled) pooledTests(df, check, pre)._1
-      else tests(df, check, pre)
     val t = base.filter(col("p_holm") < check.alphaBar)
       .select((keyCols :+ "grp").map(col) :+ col("p_holm"): _*)
     val c = cells(df, check, pre)

@@ -115,8 +115,12 @@ object DigitPreference {
   }
 
   def verdicts(df: DataFrame, check: DigitPreferenceCheck,
-      pre: Option[DataFrame] = None): DataFrame = {
-    val t = tests(df, check, pre)
+      pre: Option[DataFrame] = None): DataFrame =
+    verdictsFrom(tests(df, check, pre), check)
+
+  /** Verdicts from a prebuilt `tests` frame — lets the Runner build the
+    * tests lineage ONCE for both outputs. */
+  def verdictsFrom(t: DataFrame, check: DigitPreferenceCheck): DataFrame = {
     val framed = t.select(
       partitionOf(check), lit("digit_gof_chisq").as("metric"),
       col("gof_stat").as("stat"), col("gof_p").as("p_value"),
@@ -139,9 +143,13 @@ object DigitPreference {
 
   /** Violations: failing groups with their most-preferred digit. */
   def violations(df: DataFrame, check: DigitPreferenceCheck,
+      pre: Option[DataFrame] = None): DataFrame =
+    violationsFrom(tests(df, check, pre), df, check, pre)
+
+  def violationsFrom(t: DataFrame, df: DataFrame, check: DigitPreferenceCheck,
       pre: Option[DataFrame] = None): DataFrame = {
     val keyCols = check.scope :+ "panel" :+ "grp"
-    val failing = tests(df, check, pre).filter(!col("pass"))
+    val failing = t.filter(!col("pass"))
       .select((keyCols.map(col) :+ col("gof_p") :+ col("none_pct")): _*)
     val dc = digitCounts(df, check, pre).filter(col("digit") >= 0)
     val joined = dc.join(failing, keyCols)
