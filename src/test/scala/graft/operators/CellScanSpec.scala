@@ -75,6 +75,33 @@ class CellScanSpec extends SparkSpec {
     assert(Set("cs", "u", "gv", "ro", "lo").subsetOf(byCheck.keySet), s"got $byCheck")
   }
 
+  test("with fused cells (pre) NO categorical surface re-scans the raw input") {
+    import spark.implicits._
+    // pre-aggregated counts describing data DIFFERENT from the raw frame:
+    // any surface that secretly aggregates the raw input instead of `pre`
+    // betrays itself through the numbers (this caught the `_All_` overall
+    // bar once — it ignored `pre` and cost one full scan per check)
+    val check = CategoricalConsistencyCheck("cc", "lang", "src")
+    val raw = Seq(("en", "a"), ("en", "a"), ("de", "b")).toDF("lang", "src")
+    val pre = Seq(
+      ("_ALL_", "a", "en", 700L), ("_ALL_", "a", "de", 300L),
+      ("_ALL_", "b", "en", 400L), ("_ALL_", "b", "de", 600L))
+      .toDF("panel", "grp", "value", "cnt")
+    val v = CategoricalConsistency.verdicts(raw, check, Some(pre))
+      .collect()
+    // overall bar must carry pre's panel total (2000), not raw's (3)
+    val overall = v.filter(_.getAs[String]("metric") == "overall_bar")
+    assert(overall.nonEmpty)
+    assert(overall.forall(_.getAs[Long]("n_obs") == 2000L),
+      s"overall bar ignored pre: ${overall.map(_.getAs[Long]("n_obs")).toSeq}")
+    // one-vs-rest rows likewise reflect pre's group sizes (1000 each)
+    val ovr = v.filter(_.getAs[String]("metric").endsWith("_one_vs_rest"))
+    assert(ovr.nonEmpty && ovr.forall(_.getAs[Long]("n_obs") == 1000L))
+    // violations path too
+    val viol = CategoricalConsistency.violations(raw, check, Some(pre))
+    viol.collect() // must not fail; counts derived from pre via the cells cache
+  }
+
   test("Runner suite (fusion active) still flags every planted anomaly") {
     val res = graft.engine.Runner.run(Pages.generate(spark, 20000, numPartitions = 8),
       Flagship.suite(spark))
