@@ -25,11 +25,18 @@ object CacheTracker {
 
   private val active = new DynamicVariable[List[ListBuffer[DataFrame]]](Nil)
 
-  /** Cache `df` and register it with the innermost open scope, if any. */
+  /** Cache `df` and register it with the innermost open scope, if any.
+    * If the lineage is already cached (the cache manager matches on the
+    * canonicalized plan), this is a no-op: re-caching would only emit
+    * "Asked to cache already cached data" warnings that mask real
+    * regressions, and re-registering would double-count the release. */
   def cached(df: DataFrame): DataFrame = {
-    val c = df.cache()
-    active.value.headOption.foreach(_ += c)
-    c
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val c = df.cache()
+      active.value.headOption.foreach(_ += c)
+      c
+    }
   }
 
   /** Chained-call sugar: `df.trackedCache()` ≡ `CacheTracker.cached(df)`. */
@@ -45,5 +52,18 @@ object CacheTracker {
     val frames = new ListBuffer[DataFrame]
     try active.withValue(frames :: active.value)(body)
     finally frames.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Run `body` and return it together with every frame `cached` registered
+    * inside it, WITHOUT unpersisting on exit — the caller owns the release
+    * (e.g. `RunResult.release()` after materializing lazy outputs). The
+    * collected frames are also re-registered with the enclosing scope, if
+    * any, so a surrounding `scope { }` (the resumable runner's per-unit
+    * scope) still frees them even if the caller never calls release. */
+  def collect[T](body: => T): (T, Seq[DataFrame]) = {
+    val frames = new ListBuffer[DataFrame]
+    val res = active.withValue(frames :: active.value)(body)
+    active.value.headOption.foreach(_ ++= frames)
+    (res, frames.toList)
   }
 }

@@ -28,7 +28,17 @@ object Runner {
       refTables: Map[String, DataFrame] = Map.empty,
       keyCol: String = "url")
 
-  final case class RunResult(verdicts: DataFrame, violations: DataFrame) {
+  final case class RunResult(verdicts: DataFrame, violations: DataFrame,
+      private val caches: Seq[DataFrame] = Nil) {
+
+    /** Unpersist every intermediate frame this run cached. Call AFTER
+      * materializing verdicts/violations (they are lazy; a released lineage
+      * recomputes from source). Plain `run` in a long-lived session (a
+      * notebook) would otherwise accumulate row-proportional caches — the
+      * resumable runner's per-unit scopes release them automatically, this
+      * is the equivalent hand brake for direct callers. Idempotent. */
+    def release(): Unit = caches.foreach(_.unpersist(blocking = false))
+
     /** Both outputs as ONE frame — a `kind` discriminator column over the
       * union (missing columns null-filled). Materializing this is ONE
       * Spark action instead of two: the ~50 reduced-frame stages schedule
@@ -42,6 +52,15 @@ object Runner {
   }
 
   def run(df: DataFrame, suite: Suite): RunResult = {
+    // collect (don't scope-release) the run's caches: the returned frames
+    // are lazy, so they must stay cached until the caller materializes —
+    // RunResult.release() is the explicit hand-off; an enclosing
+    // CacheTracker.scope (runResumable) still frees them automatically
+    val (result, caches) = CacheTracker.collect(runBody(df, suite))
+    result.copy(caches = caches)
+  }
+
+  private def runBody(df: DataFrame, suite: Suite): RunResult = {
     val spark = df.sparkSession
     // compile: schema validation + parameter defaulting (the reference's
     // %dataExist/%variableExist/%argumentCheck semantics) — structural
@@ -111,12 +130,18 @@ object Runner {
     val cellPre: Map[String, DataFrame] =
       if (!fuseCells || catChecks.size + digChecks.size + drChecks.size < 2) Map.empty
       else {
+        // ALL drift bin edges ride ONE broadcast 1-row frame (one
+        // agg(min,max per column) pass) instead of one full scan per check
         var base = input
-        val drFams = drChecks.zipWithIndex.map { case (c, i) =>
-          val (mn, w) = (s"__dr${i}_mn", s"__dr${i}_w")
-          base = base.crossJoin(broadcast(Drift.edges(input, c, mn, w)))
-          c.id -> Drift.cellFamily(c, mn, w)
-        }
+        val drFams =
+          if (drChecks.isEmpty) Seq.empty
+          else {
+            val named = drChecks.zipWithIndex.map { case (c, i) =>
+              (c, s"__dr${i}_mn", s"__dr${i}_w")
+            }
+            base = base.crossJoin(broadcast(Drift.edgesMulti(input, named)))
+            named.map { case (c, mn, w) => c.id -> Drift.cellFamily(c, mn, w) }
+          }
         val fams = catChecks.map(c => c.id -> CategoricalConsistency.cellFamily(c)) ++
           digChecks.map(c => c.id -> DigitPreference.cellFamily(c)) ++ drFams
         val counts = CellScan.counts(base, fams.map(_._2))

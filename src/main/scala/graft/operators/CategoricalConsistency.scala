@@ -66,11 +66,13 @@ object CategoricalConsistency {
         .withColumnRenamed(check.valueCol, "value")
         .trackedCache()
     }
-    // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6)
+    // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6).
+    // Null-safe joins: null scope values and null panels (null dateCol)
+    // form real groups that must keep their counts, not be dropped/zeroed
     val grpDom = counts.select((keyCols :+ "grp").map(col): _*).distinct()
     val valDom = counts.select((keyCols :+ "value").map(col): _*).distinct()
-    val shell = grpDom.join(valDom, keyCols)
-    val filled = shell.join(counts, keyCols :+ "grp" :+ "value", "left")
+    val shell = NullSafeJoin(grpDom, valDom, keyCols)
+    val filled = NullSafeJoin.left(shell, counts, keyCols :+ "grp" :+ "value")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val wGrp = Window.partitionBy((keyCols :+ "grp").map(col): _*)
     val wVal = Window.partitionBy((keyCols :+ "value").map(col): _*)
@@ -177,7 +179,7 @@ object CategoricalConsistency {
       col("cnt").as("c1") :+ col("grp_total").as("n1")): _*)
     val b = c.select((keyCols.map(col) :+ col("grp").as("grp2") :+ col("value") :+
       col("cnt").as("c2") :+ col("grp_total").as("n2")): _*)
-    val withE = a.join(b, keyCols :+ "value")
+    val withE = NullSafeJoin(a, b, keyCols :+ "value")
       .filter(col("grp1") < col("grp2"))
       .withColumn("rv", (col("c1") + col("c2")).cast("double"))
       .withColumn("n", (col("n1") + col("n2")).cast("double"))
@@ -204,7 +206,7 @@ object CategoricalConsistency {
       .filter(col("grp1") < col("grp2"))
     val panelDom = c.select(keyCols.map(col): _*).distinct()
     val shell = panelDom.crossJoin(pairDom)
-    val full = shell.join(perPair, keyCols :+ "grp1" :+ "grp2", "left")
+    val full = NullSafeJoin.left(shell, perPair, keyCols :+ "grp1" :+ "grp2")
       .withColumn("n1", coalesce(col("n1"), lit(0L)))
       .withColumn("n2", coalesce(col("n2"), lit(0L)))
     val useFisher = check.test.equalsIgnoreCase("fisher")
@@ -255,11 +257,11 @@ object CategoricalConsistency {
       .select(kc :+ col("id1").as("grp") :+ col("p_holm"): _*)
     val adjH = adjusted.filter(col("family") === "heat")
       .select(kc :+ col("id1").as("grp1") :+ col("id2").as("grp2") :+ col("p_holm"): _*)
-    (stacked.withColumn("grp", col("grp").cast("string"))
-        .join(adjS, keyCols :+ "grp"),
-      heat.withColumn("grp1", col("grp1").cast("string"))
-        .withColumn("grp2", col("grp2").cast("string"))
-        .join(adjH, keyCols :+ "grp1" :+ "grp2"))
+    (NullSafeJoin(stacked.withColumn("grp", col("grp").cast("string")),
+        adjS, keyCols :+ "grp"),
+      NullSafeJoin(heat.withColumn("grp1", col("grp1").cast("string"))
+        .withColumn("grp2", col("grp2").cast("string")),
+        adjH, keyCols :+ "grp1" :+ "grp2"))
   }
 
   /** The reference's `_All_` overall bar (Categorical_Check.sas:317-340):
@@ -386,7 +388,7 @@ object CategoricalConsistency {
           abs(col("cnt") / col("grp_total") -
             col("panel_value_total") / col("panel_total")))
           .otherwise(0.0))
-    val joined = c.join(t, keyCols :+ "grp")
+    val joined = NullSafeJoin(c, t, keyCols :+ "grp")
     val w = Window.partitionBy((keyCols :+ "grp").map(col): _*).orderBy(col("dev").desc, col("value"))
     val worst = joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     val v = worst.select(

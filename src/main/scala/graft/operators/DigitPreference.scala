@@ -80,10 +80,11 @@ object DigitPreference {
         .agg(count(lit(1)).as("cnt"))
         .trackedCache()
     }
-    // fixed digit domain: explode literal array — no extra scan
+    // fixed digit domain: explode literal array — no extra scan. Null-safe
+    // fill join: null scope/panel groups keep their own counts
     val dom = counts.select(keyCols.map(col): _*).distinct()
       .withColumn("digit", explode(lit((-1 to 9).toArray)))
-    dom.join(counts, keyCols :+ "digit", "left")
+    NullSafeJoin.left(dom, counts, keyCols :+ "digit")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
   }
 
@@ -152,7 +153,7 @@ object DigitPreference {
     val failing = t.filter(!col("pass"))
       .select((keyCols.map(col) :+ col("gof_p") :+ col("none_pct")): _*)
     val dc = digitCounts(df, check, pre).filter(col("digit") >= 0)
-    val joined = dc.join(failing, keyCols)
+    val joined = NullSafeJoin(dc, failing, keyCols)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("cnt").desc, col("digit"))
     val v = joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -34,6 +34,29 @@ object Drift {
           .otherwise(1.0).as(wName))
   }
 
+  /** All drift checks' bin edges in ONE pass: a single agg(min,max per
+    * column) over the input instead of one full scan per check — with d
+    * drift checks in a suite, d + 1 scans become 2 (this + the fused
+    * CellScan). Per-column null/NaN exclusion is folded into the aggregate
+    * (min/max skip nulls; NaN is mapped to null so it can't poison max,
+    * which in Spark's ordering treats NaN as the largest double). Returns
+    * ONE 1-row frame with (mnName, wName) per check, meant to be
+    * crossJoin(broadcast(_))-ed onto the shared scan base. */
+  def edgesMulti(df: DataFrame,
+      checks: Seq[(DriftCheck, String, String)]): DataFrame = {
+    val aggs = checks.zipWithIndex.flatMap { case ((c, mnName, _), i) =>
+      val v0 = col(c.column).cast("double")
+      val v = when(!isnan(v0), v0)
+      Seq(min(v).as(mnName), max(v).as(s"__mx_$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*).select(
+      checks.zipWithIndex.flatMap { case ((c, mnName, wName), i) =>
+        Seq(col(mnName),
+          when(col(s"__mx_$i") > col(mnName),
+            (col(s"__mx_$i") - col(mnName)) / c.bins).otherwise(1.0).as(wName))
+      }: _*)
+  }
+
   /** Bin index from broadcast edge columns. */
   private def binExpr(check: DriftCheck, v: Column, mn: Column, w: Column): Column =
     least(greatest(floor((v - mn) / w), lit(0.0)),
@@ -72,10 +95,11 @@ object Drift {
     // categorical shell join (J6): a bin empty in one window but populated
     // in the rest must contribute its (0−e)²/e term, its mass to the KS
     // cumulatives, and its slot to df; without the fill, strong-drift
-    // windows UNDER-flag (round-1 ADVICE fix)
+    // windows UNDER-flag (round-1 ADVICE fix). Null-safe: null scope /
+    // panel groups must match their own counts, not be zeroed out.
     val panelDom = counts.select(keyCols.map(col): _*).distinct()
       .withColumn("bin", explode(lit((0 until check.bins).toArray)))
-    panelDom.join(counts, keyCols :+ "bin", "left")
+    NullSafeJoin.left(panelDom, counts, keyCols :+ "bin")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .trackedCache() // windows × bins rows; tests + violations reuse one pass
   }
@@ -89,11 +113,19 @@ object Drift {
     val wPanel = Window.partitionBy(keyCols.map(col): _*)
     // grand total per scope via a broadcast-joined aggregate: with an empty
     // scope a window here would be unpartitioned (single-partition
-    // WindowExec warning noise that could mask a real regression)
+    // WindowExec warning noise that could mask a real regression). The join
+    // must be null-safe (<=>): groupBy keeps null scope groups, and dirty
+    // validation inputs hold null scope values by definition — an equi-join
+    // would silently drop them from tests, verdicts, and violations.
     val grand = h.groupBy(check.scope.map(col): _*).agg(sum("cnt").as("grand_total"))
     val withGrand =
       if (check.scope.isEmpty) h.crossJoin(broadcast(grand))
-      else h.join(broadcast(grand), check.scope)
+      else {
+        val g = broadcast(grand.select(
+          check.scope.map(s => col(s).as(s"__g_$s")) :+ col("grand_total"): _*))
+        h.join(g, check.scope.map(s => col(s) <=> col(s"__g_$s")).reduce(_ && _))
+          .drop(check.scope.map(s => s"__g_$s"): _*)
+      }
     val withTotals = withGrand
       .withColumn("bin_total", sum("cnt").over(wScopeBin))   // this bin, all windows
       .withColumn("panel_total", sum("cnt").over(wPanel))    // this window

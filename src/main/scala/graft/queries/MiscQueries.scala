@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.queries.QuerySpec.read
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,10 +69,13 @@ object MiscQueries {
           .agg(round(stddev_samp("l_extendedprice"), 6).as("sd"))
         // global rank on a reduced frame as a broadcast inequality
         // self-join (count of keys ≤ mine; keys are unique per group) —
-        // no unpartitioned WindowExec
+        // no unpartitioned WindowExec. stddev_samp is null for a 1-row
+        // group; coalesce to -inf so the comparison matches the oracle's
+        // rank() NULLS FIRST ordering instead of dropping the group
+        val sdKey = (c: Column) => coalesce(c, lit(Double.NegativeInfinity))
         val rhs = g.select(col("l_returnflag").as("rf_j"), col("sd").as("sd_j"))
-        g.join(broadcast(rhs), col("sd_j") < col("sd") ||
-            (col("sd_j") === col("sd") && col("rf_j") <= col("l_returnflag")))
+        g.join(broadcast(rhs), sdKey(col("sd_j")) < sdKey(col("sd")) ||
+            (sdKey(col("sd_j")) === sdKey(col("sd")) && col("rf_j") <= col("l_returnflag")))
           .groupBy("l_returnflag", "sd")
           .agg(count(lit(1)).cast("int").as("sd_rank"))
           .orderBy("sd_rank")

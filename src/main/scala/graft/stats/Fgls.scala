@@ -97,8 +97,12 @@ object Fgls {
         sum(y).as("__sy") +: xs.zipWithIndex.map { case (x, i) => sum(x).as(s"__sx_$i") }: _*)
     // weight by c(n_i) from the broadcast variance components, then
     // collapse to ONE row per scope (p² + p weighted outer-product sums)
+    // guard BOTH components: a NaN sigma_b2 with a valid sigma_e2 would make
+    // c NaN, and coalesce does not catch NaN — the whole adjusted Gram would
+    // silently turn NaN. Invalid components fall back to c = 0 (plain OLS).
     val c = when(
-      col("sigma_e2").isNotNull && !isnan(col("sigma_e2")) && col("sigma_e2") > 0,
+      col("sigma_e2").isNotNull && !isnan(col("sigma_e2")) && col("sigma_e2") > 0 &&
+        col("sigma_b2").isNotNull && !isnan(col("sigma_b2")) && col("sigma_b2") >= 0,
       col("sigma_b2") / (col("sigma_e2") + col("__n") * col("sigma_b2")))
       .otherwise(lit(0.0))
     val weighted = subjSums

@@ -62,14 +62,19 @@ object StreamingChecks {
     * (`dropDuplicatesWithinWatermark`) and is evicted as event time
     * advances, so state size is bounded by the horizon's fingerprint
     * cardinality, never by stream length. On a batch frame the same call
-    * degrades to a plain dedup (streaming ≡ batch surface). */
+    * keeps the earliest-`tsCol` row per fingerprint so the kept-row policy
+    * (not just the fingerprint set) matches the streaming first-arrival
+    * semantics (streaming ≡ batch surface). */
   def streamingDedup(pages: DataFrame, tsCol: String, textCol: String,
       watermark: String = "1 day"): DataFrame = {
     val withFp = pages.withColumn("fp",
       graft.functions.TextFunctions.fingerprint(col(textCol)))
     if (withFp.isStreaming)
       withFp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("fp")
-    else withFp.dropDuplicates("fp")
+    else withFp
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(col(tsCol))))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Threshold verdicts over a profile stream: missing-fraction and range

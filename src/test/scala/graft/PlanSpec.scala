@@ -64,6 +64,28 @@ class PlanSpec extends SparkSpec {
       "partial agg must sit below the shuffle (plan prints top-down)")
   }
 
+  test("two drift checks share ONE bin-edge aggregation pass (fused edges)") {
+    val pages = graft.sources.Pages.generate(spark, 1000)
+    val d1 = graft.checks.DriftCheck("d1", "score", "warc_ts", interval = "quarter")
+    val d2 = graft.checks.DriftCheck("d2", "host_id", "warc_ts", interval = "quarter")
+    val named = Seq((d1, "__dr0_mn", "__dr0_w"), (d2, "__dr1_mn", "__dr1_w"))
+    val fusedEdges = graft.operators.Drift.edgesMulti(pages, named)
+    // the scan base Runner builds: the input adorned with ONE broadcast
+    // 1-row edge frame — exactly one partial+final agg pair feeds it, no
+    // matter how many drift checks ride the suite
+    val p = plan(pages.crossJoin(broadcast(fusedEdges)))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs == 2,
+      s"edges for BOTH drift checks must fuse into ONE agg pass:\n${p.take(1200)}")
+    // fused values ≡ the per-check single-column aggregation
+    val row = fusedEdges.collect()(0)
+    for (((c, mn, w), _) <- named.zipWithIndex) {
+      val e = graft.operators.Drift.edges(pages, c).collect()(0)
+      assert(math.abs(row.getAs[Double](mn) - e.getDouble(0)) < 1e-12, mn)
+      assert(math.abs(row.getAs[Double](w) - e.getDouble(1)) < 1e-12, w)
+    }
+  }
+
   test("referential anti-join broadcasts the dimension") {
     val pages = graft.sources.Pages.generate(spark, 1000)
     val hosts = graft.sources.Pages.hosts(spark)

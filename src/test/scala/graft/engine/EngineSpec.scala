@@ -152,6 +152,32 @@ class EngineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("plain run + release() leaves an empty cache manager (notebook lifecycle)") {
+    val input = Pages.generate(spark, 8000)
+    val suite = Runner.Suite(
+      checks = Seq(
+        UniquenessCheck("u", Seq("url")),
+        ByteIdentityCheck("b", "url", "text"),
+        CategoricalConsistencyCheck("cc", "lang", "host_bucket",
+          dateCol = Some("warc_ts"), interval = "quarter"),
+        DigitPreferenceCheck("dp", "score", place = 0.1, groupCol = "host_id"),
+        GroupVarianceCheck("gv", "score", "host_bucket")),
+      keyCol = "url")
+    spark.catalog.clearCache()
+    // repeated run → materialize → release cycles, as a notebook would
+    var lastCount = -1L
+    (1 to 3).foreach { _ =>
+      val res = Runner.run(input, suite)
+      val c = res.unified.count() // materialize BEFORE release
+      assert(lastCount == -1L || c == lastCount, "repeat runs must agree")
+      lastCount = c
+      res.release()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist every run-scoped cache, incl. the " +
+        "GroupVariance row-proportional residual frame")
+  }
+
   test("multimodal plumbing: decode stub and frame sampling shapes") {
     val mm = graft.operators.Multimodal.decodeStub(pages.limit(100), "url", "html")
     val rows = mm.collect()

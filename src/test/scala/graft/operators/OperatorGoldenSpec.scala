@@ -469,6 +469,31 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("Drift keeps null scope groups (null-safe grand-total join)") {
+    // two scope groups: "a" and null, each with the same disjoint-support
+    // shift between quarters — the null group must produce the SAME tests
+    // rows as the named group, not silently vanish (dirty inputs hold null
+    // scope values by definition)
+    val q1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val q2 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    val rows = for {
+      g <- Seq("a", null)
+      (q, v) <- Seq.fill(10)((q1, 0.5)) ++ Seq.fill(10)((q1, 1.5)) ++
+        Seq.fill(10)((q2, 2.5)) ++ Seq.fill(10)((q2, 3.5))
+    } yield (g, q, v)
+    val df = rows.toDF("grp", "ts", "v")
+    val t = Drift.tests(df, DriftCheck("dn", "v", "ts", interval = "quarter",
+      bins = 4, scope = Seq("grp"))).collect()
+    val byGrp = t.groupBy(r => Option(r.getAs[String]("grp")))
+    assert(byGrp.keySet == Set(Some("a"), None),
+      s"both scope groups must survive, got ${byGrp.keySet}")
+    for ((g, rs) <- byGrp) {
+      assert(rs.length == 2, s"$g: two panels expected")
+      assert(rs.forall(r => math.abs(r.getAs[Double]("stat") - 40.0) < 1e-9),
+        s"$g: stats ${rs.map(_.getAs[Double]("stat")).toSeq}")
+    }
+  }
+
   // ---- uniqueness / referential / byte identity ---------------------------
 
   test("Uniqueness counts extra rows; Referential finds orphans; ByteIdentity catches divergence") {

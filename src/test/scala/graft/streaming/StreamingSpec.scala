@@ -56,11 +56,14 @@ class StreamingSpec extends SparkSpec {
     assert(kept.intersect(Set("a", "b")).size == 1, s"one of the dups kept: $kept")
     assert(!kept.contains("d"), "cross-batch duplicate inside the horizon dropped")
     assert(kept.contains("c") && kept.contains("e"))
-    // batch surface: same call on a static frame dedups identically
-    val batchKept = StreamingChecks.streamingDedup(
-      Seq((t, "a", "same page"), (t2, "d", "same page"), (t2, "e", "third"))
-        .toDF("ts", "id", "text"), "ts", "text").count()
-    assert(batchKept == 2)
+    // batch surface: same call on a static frame dedups identically AND
+    // keeps the earliest-ts row per fingerprint (first-arrival parity)
+    val batchRows = StreamingChecks.streamingDedup(
+      Seq((t2, "d", "same page"), (t, "a", "same page"), (t2, "e", "third"))
+        .toDF("ts", "id", "text"), "ts", "text").collect()
+    assert(batchRows.length == 2)
+    assert(batchRows.map(_.getString(1)).toSet == Set("a", "e"),
+      "batch branch keeps the min-ts row per fingerprint, not an arbitrary one")
   }
 
   test("windowed frequencies + verdicts run in append mode with watermark") {

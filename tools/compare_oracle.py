@@ -75,6 +75,10 @@ def main(out_dir, sf_dir):
                               if os.path.isdir(os.path.join(out_dir, d)) and d not in oracle]
     for q in sorted(queries_without_oracle):
         spark_files = glob.glob(os.path.join(out_dir, q, "*.parquet"))
+        if not spark_files:
+            # pd.concat([]) raises; report the empty query and keep going
+            print(f"FAIL {q}: 0 rows (no parquet part files)"); fails += 1
+            continue
         sdf = pd.concat([pd.read_parquet(p) for p in spark_files])
         if q not in PY_ORACLES:
             print(f"ROWS {q}: {len(sdf)} rows (no oracle)")
