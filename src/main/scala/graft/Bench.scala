@@ -84,11 +84,20 @@ object Bench {
     // would provide and is not engine work.
     val pages = Pages.generate(spark, nPages, numPartitions = cpus.toInt * 4)
     results("pages_generate") = time(pages.cache().count())
+    // scope releases each run's operator caches once the output is
+    // materialized — the long-lived-session hygiene the resumable path
+    // gets per unit. Verdicts + violations ride ONE action (union with a
+    // kind column) so the ~50 reduced-frame stages schedule once.
+    // Two compositions are timed: the round-3-comparable core suite
+    // (cross-round throughput continuity) and the FULL suite (core +
+    // model families + near-dup) — the headline docs/sec is the full one.
+    results("validation_suite_core") = time {
+      graft.engine.CacheTracker.scope {
+        Runner.run(pages, Flagship.coreSuite(spark))
+          .unified.write.format("noop").mode("overwrite").save()
+      }
+    }
     val suiteSec = time {
-      // scope releases the run's operator caches once the output is
-      // materialized — the long-lived-session hygiene the resumable path
-      // gets per unit. Verdicts + violations ride ONE action (union with a
-      // kind column) so the ~50 reduced-frame stages schedule once.
       graft.engine.CacheTracker.scope {
         Runner.run(pages, Flagship.suite(spark))
           .unified.write.format("noop").mode("overwrite").save()

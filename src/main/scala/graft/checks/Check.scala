@@ -179,6 +179,30 @@ final case class DriftCheck(
     ksThreshold: Double = 0.2,
     severity: String = "warn") extends Check
 
+/** Near-duplicate content check — the LLM-pipeline dedup surface as a
+  * first-class validation check: exact duplicates by normalized-text
+  * fingerprint PLUS simhash near-duplicates at Hamming ≤ `maxHamming`
+  * (pigeonhole block-split, guaranteed recall at the threshold, hot
+  * buckets capped at `maxBucket`). One verdict row: the drop fraction
+  * (exact non-keepers ∪ near-dup pair losers) vs `maxDupFrac`; one
+  * violation row per dropped id naming what it duplicates.
+  *
+  * Semantics are run-local: under `runResumable` the pairs are generated
+  * within each unit slice (cross-unit near-dups need a persisted global
+  * signature store — the documented production shape). Scope columns are
+  * not supported (pair generation is corpus-global); a non-empty scope
+  * normalizes to global with a warning.
+  */
+final case class NearDupCheck(
+    id: String,
+    idCol: String = "url",
+    textCol: String = "text",
+    maxHamming: Int = 3,
+    maxDupFrac: Double = 0.0,
+    maxBucket: Int = 5000,
+    scope: Seq[String] = Nil,
+    severity: String = "warn") extends Check
+
 /** Byte-identity audit: sha2-256 of `column` grouped by key must have
   * exactly one value per key across the table (north-rule text invariant).
   */

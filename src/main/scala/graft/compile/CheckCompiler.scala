@@ -64,6 +64,7 @@ object CheckCompiler {
       Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
     case c: DriftCheck => Seq(c.column, c.dateCol) ++ c.scope
     case c: ByteIdentityCheck => Seq(c.keyCol, c.column)
+    case c: NearDupCheck => Seq(c.idCol, c.textCol)
   }
 
   /** Structural issues that make a check uncompilable (reference: hard
@@ -93,6 +94,8 @@ object CheckCompiler {
       colIssues(schema, c.id, referencedColumns(c),
         numeric = Seq(c.column), temporal = Seq(c.dateCol))
     case c: ByteIdentityCheck =>
+      colIssues(schema, c.id, referencedColumns(c))
+    case c: NearDupCheck =>
       colIssues(schema, c.id, referencedColumns(c))
   }
 
@@ -163,6 +166,24 @@ object CheckCompiler {
           warn("defaulted_param", s"interval=${c.interval} → quarter"); out = out.copy(interval = "quarter")
         }
         if (c.bins < 2) { warn("defaulted_param", s"bins=${c.bins} → 20"); out = out.copy(bins = 20) }
+        out
+      case c: NearDupCheck =>
+        var out = c
+        // pigeonhole needs maxHamming+1 disjoint 64-bit blocks of ≥ 8 bits
+        // for useful bucket selectivity → cap at 7 blocks (Hamming ≤ 6)
+        if (c.maxHamming < 0 || c.maxHamming > 6) {
+          warn("defaulted_param", s"maxHamming=${c.maxHamming} → 3"); out = out.copy(maxHamming = 3)
+        }
+        if (c.maxDupFrac < 0 || c.maxDupFrac >= 1) {
+          warn("defaulted_param", s"maxDupFrac=${c.maxDupFrac} → 0.0"); out = out.copy(maxDupFrac = 0.0)
+        }
+        if (c.maxBucket < 2) {
+          warn("defaulted_param", s"maxBucket=${c.maxBucket} → 5000"); out = out.copy(maxBucket = 5000)
+        }
+        if (c.scope.nonEmpty) {
+          warn("defaulted_param", "scope not supported for near-dup (pairs are corpus-global) → global")
+          out = out.copy(scope = Nil)
+        }
         out
       case other => other
     }

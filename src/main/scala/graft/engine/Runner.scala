@@ -191,6 +191,15 @@ object Runner {
       case c: ByteIdentityCheck =>
         (ByteIdentity.verdicts(input, c, shared = byteShared(c)),
           ByteIdentity.violations(input, c, shared = byteShared(c)))
+      // LLM-pipeline dedup as a first-class check: ONE narrow signature
+      // pass (cached inside nearDupSurfaces) + a cached tiny drop frame
+      // shared by both outputs
+      case c: NearDupCheck =>
+        val (sig, drops0) = Dedup.nearDupSurfaces(input, c.idCol, c.textCol,
+          c.maxHamming, c.maxBucket)
+        val drops = CacheTracker.cached(drops0)
+        (Dedup.nearDupVerdictsFrom(sig, drops, c),
+          Dedup.nearDupViolationsFrom(drops, c))
     }
 
     val verdicts = (statsResults ++ others.map(_._1))

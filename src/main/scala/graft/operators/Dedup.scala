@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.engine.CacheTracker.TrackedCacheOps
+import graft.checks.{NearDupCheck, Results}
 import graft.functions.{SimHash64, TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -30,15 +31,27 @@ object Dedup {
   val DefaultMaxBucket = 5000
 
   /** Keep at most `cap` rows per bucket, deterministically (ordered by
-    * `orderCol`). The row_number window hash-partitions on the bucket —
-    * the SAME partitioning the following self-join needs, so this adds a
-    * sort but no extra shuffle round. */
+    * `orderCol`).
+    *
+    * In a healthy corpus almost no bucket exceeds the cap, so ranking
+    * EVERY row (a full-width sort-shuffle of the exploded frame) is pure
+    * overhead. Instead: one narrow count aggregation finds the hot
+    * buckets; only THEIR rows (≤ a tiny fraction) pay the row_number
+    * sort, everything else passes through a map-side broadcast anti-join
+    * with no extra shuffle. The hot-bucket list is provably broadcastable:
+    * at most n/cap keys can exceed the cap. */
   private[operators] def capBucket(df: DataFrame, bucketCol: String,
-      orderCol: String, cap: Int): DataFrame =
-    df.withColumn("__bn",
+      orderCol: String, cap: Int): DataFrame = {
+    val hot = df.groupBy(bucketCol).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > cap).select(bucketCol)
+    val cold = df.join(broadcast(hot), Seq(bucketCol), "left_anti")
+    val capped = df.join(broadcast(hot), Seq(bucketCol), "left_semi")
+      .withColumn("__bn",
         row_number().over(Window.partitionBy(bucketCol).orderBy(col(orderCol))))
       .filter(col("__bn") <= cap)
       .drop("__bn")
+    cold.unionByName(capped.select(cold.columns.map(col): _*))
+  }
 
   /** Exact duplicate groups by normalized-text fingerprint.
     * Returns (fingerprint, n_docs, keep_id, all_ids) where all_ids is the
@@ -128,37 +141,118 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates with GUARANTEED recall at the Hamming
-    * threshold: pigeonhole block-split. The 64-bit simhash is cut into
-    * `maxHamming + 1` disjoint bit-blocks; two hashes at Hamming distance
-    * ≤ maxHamming differ in at most maxHamming blocks, so they agree
-    * EXACTLY on at least one block — bucketing each row once per
-    * (block index, block bits) and pairing within buckets therefore
-    * recovers every qualifying pair (the classic Hamming-ball pigeonhole
-    * construction). Candidate volume stays bucket-local: the shuffle
-    * carries (row, block) pairs, never a cross product; hot buckets are
-    * capped (documented recall tradeoff under adversarial boilerplate). */
+    * threshold — see `simhashPairs` for the block-combination pigeonhole
+    * construction and its scale properties. Candidate volume stays
+    * bucket-local: the shuffle carries (row, combo-key) pairs, never a
+    * cross product; hot buckets are capped (documented recall tradeoff
+    * under adversarial boilerplate). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = df.select(col(idCol).as("id"), SimHash64.ofText(col(textCol)).as("sim"))
     simhashPairs(sig, maxHamming, maxBucket)
   }
 
-  /** Pair generation over a prebuilt (id, sim) signature frame — the
-    * block-split machinery of `simhashCandidates`, reusable when
-    * signatures are precomputed/materialized (the production shape). */
+  /** First-class NearDupCheck surfaces: ONE narrow signature pass
+    * (id, fp, sim — cached; at production scale persisted to the table
+    * store), then the exact two-phase drop list and the pigeonhole simhash
+    * pairs ride it without re-scanning the input. Returns (sig, drops):
+    *  - sig: one row per input row (id, fp, sim);
+    *  - drops: one row per dropped id — (drop_id, reason∈{exact,near},
+    *    dup_of = the kept id it duplicates, hamming).
+    * Exact-dropped rows are excluded from near-pair generation (identical
+    * text pairs at Hamming 0 are already dropped by the exact phase), so an
+    * id appears at most once. Near-dup losers follow the keep-min-id
+    * convention: in every qualifying pair the larger id drops. */
+  def nearDupSurfaces(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
+    val sig = df.select(col(idCol).cast("string").as("id"),
+        TF.fingerprint(col(textCol)).as("fp"),
+        SimHash64.ofText(col(textCol)).as("sim"))
+      .trackedCache()
+    val dupFps = sig.groupBy("fp")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("fp")
+    val w = Window.partitionBy("fp").orderBy(col("id"))
+    val exact = sig.join(dupFps, Seq("fp"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__keep", first("id").over(w))
+    val exactDrops = exact.filter(col("__rn") > 1)
+      .select(col("id").as("drop_id"), lit("exact").as("reason"),
+        col("__keep").as("dup_of"), lit(0).as("hamming"))
+    // near candidates over the exact-deduped survivors only
+    val nearInput = sig.join(exactDrops.select(col("drop_id").as("id")),
+      Seq("id"), "left_anti")
+    val nearDrops = simhashPairs(nearInput.select("id", "sim"), maxHamming, maxBucket)
+      .groupBy(col("id_b").as("drop_id"))
+      .agg(min(struct(col("hamming"), col("id_a"))).as("__m"))
+      .select(col("drop_id"), lit("near").as("reason"),
+        col("__m.id_a").as("dup_of"), col("__m.hamming").as("hamming"))
+    (sig, exactDrops.unionByName(nearDrops))
+  }
+
+  /** NearDupCheck verdict: ONE row — drop fraction vs maxDupFrac. Both
+    * counts ride the cached surfaces (no input re-scan). */
+  def nearDupVerdictsFrom(sig: DataFrame, drops: DataFrame,
+      check: NearDupCheck): DataFrame = {
+    val total = sig.agg(count(lit(1)).cast("double").as("n_total"))
+    val d = drops.agg(
+      count(lit(1)).cast("double").as("n_drop"),
+      sum(when(col("reason") === "exact", 1L).otherwise(0L)).as("n_exact"))
+    val framed = total.crossJoin(broadcast(d)).select(
+      lit("").as("partition"),
+      lit("dup_fraction").as("metric"),
+      (col("n_drop") / greatest(col("n_total"), lit(1.0))).as("stat"),
+      lit(check.maxDupFrac).as("threshold"),
+      col("n_total").cast("long").as("n_obs"),
+      (col("n_drop") / greatest(col("n_total"), lit(1.0)) <= check.maxDupFrac).as("pass"))
+    Results.toVerdicts(framed, check.id, check.severity)
+  }
+
+  /** NearDupCheck violations: one row per dropped id. */
+  def nearDupViolationsFrom(drops: DataFrame, check: NearDupCheck): DataFrame =
+    Results.toViolations(drops.select(
+      col("drop_id").as("key"),
+      lit("").as("partition"),
+      concat(col("reason"), lit(" duplicate of "), col("dup_of")).as("observed"),
+      lit("unique content").as("expected"),
+      concat(lit("hamming="), col("hamming").cast("string"),
+        lit(", policy=keep-min-id")).as("label")), check.id)
+
+  /** Pair generation over a prebuilt (id, sim) signature frame — reusable
+    * when signatures are precomputed/materialized (the production shape).
+    *
+    * Block-COMBINATION pigeonhole (the Manku/Jain/Sarma web-dedup
+    * construction): the 64-bit simhash is cut into `maxHamming + 3`
+    * disjoint blocks; a pair at Hamming ≤ maxHamming corrupts at most
+    * maxHamming blocks, so at least 3 blocks agree exactly — keying each
+    * row once per 3-block combination (C(maxHamming+3, 3) keys of
+    * 3·64/(maxHamming+3) ≈ 32 bits) therefore recovers EVERY qualifying
+    * pair, like the plain (maxHamming+1)-block split, but with ~32-bit
+    * bucket keys instead of ~16-bit ones. That key width is the scale
+    * lever: expected bucket collisions fall from O(n²/2¹⁶) — ~120 M
+    * candidate pairs at n = 2 M, quadratic death at 10⁹ — to O(n²/2³²),
+    * at the linear cost of C(maxHamming+3,3)× exploded rows (20× for
+    * Hamming ≤ 3). Hot buckets (true boilerplate clusters) are still
+    * capped (documented recall tradeoff). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val nBlocks = maxHamming + 1
+    val nBlocks = maxHamming + 3 // ≥ 3 clean blocks per qualifying pair
     val width = 64 / nBlocks
-    val blocks = (0 until nBlocks).map { i =>
+    def blockBits(i: Int): org.apache.spark.sql.Column = {
       val lo = i * width
-      val w = if (i == nBlocks - 1) 64 - lo else width // last block absorbs the remainder
+      val w = if (i == nBlocks - 1) 64 - lo else width // last absorbs the remainder
       val mask = if (w == 64) -1L else (1L << w) - 1L
-      struct(lit(i).as("blk"),
-        (shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))).as("bits"))
+      shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))
+    }
+    def blockWidth(i: Int): Int = if (i == nBlocks - 1) 64 - i * width else width
+    val combos = (0 until nBlocks).combinations(3).toSeq
+    val keys = combos.zipWithIndex.map { case (combo, ci) =>
+      val bits = combo.foldLeft(lit(0L)) { (acc, bi) =>
+        shiftleft(acc, blockWidth(bi)).bitwiseOR(blockBits(bi))
+      }
+      struct(lit(ci).as("blk"), bits.as("bits"))
     }
     val exploded0 = sig.select(col("id"), col("sim"),
-      explode(array(blocks: _*)).as("bucket"))
+      explode(array(keys: _*)).as("bucket"))
     val exploded = capBucket(exploded0, "bucket", "id", maxBucket)
     val a = exploded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = exploded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
@@ -166,6 +260,6 @@ object Dedup {
       .withColumn("hamming", SimHash64.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-      .dropDuplicates("id_a", "id_b") // a pair may agree on several blocks
+      .dropDuplicates("id_a", "id_b") // a pair may agree on several combos
   }
 }

@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   *    → CategoricalConsistency / Drift violations;
   *  - ~1/5000 rows get a 10× longer text → n_chars regression outliers;
   *  - host 3's `score` is 30% terminal-zero at the tenths place
-  *    → DigitPreference GOF flag.
+  *    → DigitPreference GOF flag;
+  *  - text = short dictionary skeleton + a DOMINANT doc-unique word block
+  *    (long-tail vocabulary, like real web text — without it every doc is
+  *    simhash-near every other and near-dup bucketing goes quadratic);
+  *    ~1/2000 rows clone their predecessor's text plus one extra token →
+  *    planted NEAR-duplicates (small simhash Hamming, distinct urls) for
+  *    the NearDupCheck.
   */
 object Pages {
 
@@ -44,8 +50,8 @@ object Pages {
   val PlantedHostBucket = 1
 
   /** Uniform-ish [0,1) doubles derived from md5(id | salt). */
-  private def u(salt: Int) =
-    conv(substring(md5(concat_ws("|", col("base_id"), lit(salt))), 1, 6), 16, 10)
+  private def u(salt: Int, idCol: String = "base_id") =
+    conv(substring(md5(concat_ws("|", col(idCol), lit(salt))), 1, 6), 16, 10)
       .cast("double") / lit(16777216.0)
 
   def generate(spark: SparkSession, nRows: Long, numPartitions: Int = 32): DataFrame = {
@@ -58,7 +64,6 @@ object Pages {
       .withColumn("u_ts", u(2))
       .withColumn("u_lang", u(3))
       .withColumn("u_score", u(4))
-      .withColumn("u_len", u(5))
       // Zipf-ish skew: u³ piles mass onto low host ids (host 0 hottest);
       // ~0.5% overflow into ids >= NumHosts (absent from the dim table)
       .withColumn("host_id",
@@ -80,13 +85,44 @@ object Pages {
       // text: substring of a constant word corpus at an id-derived offset —
       // stays inside whole-stage codegen (a per-word higher-order transform
       // would be interpreted per element: ~10× slower generation);
-      // ~1/5000 rows get a 10× longer text (planted n_chars outlier)
+      // ~1/5000 rows get a 10× longer text (planted n_chars outlier).
+      // All text inputs derive from src_id: the near-dup rows (~1/2000)
+      // clone their predecessor's text and append one token, so they are
+      // near (not exact) duplicates with their own url/score/ts.
+      .withColumn("src_id",
+        when(pmod(col("base_id"), lit(2000)) === 7, col("base_id") - 1)
+          .otherwise(col("base_id")))
+      .withColumn("u_len", u(5, "src_id"))
       .withColumn("n_chars_target",
-        when(pmod(col("base_id"), lit(4999)) === 17, lit(3000))
+        when(pmod(col("src_id"), lit(4999)) === 17, lit(3000))
           .otherwise((lit(100) + col("u_len") * 200).cast("int")))
+      // Doc-unique pseudo-words must DOMINATE the token mass: real web text
+      // has a long-tail vocabulary, and simhash NEEDS it. With the 18-word
+      // dictionary dominating, every doc's token-frequency vector points
+      // the same way (pairwise cos ≈ 0.8 → E[Hamming] ≈ 13), sims cluster,
+      // and near-dup bucketing degenerates to quadratic pair volume
+      // (measured: 2×10¹⁰ capped candidate pairs and >1M spurious "near"
+      // drops at 2M rows). A short fixed dictionary skeleton (~8 words)
+      // plus a doc-unique block sized to the length target keeps pairwise
+      // cos ≤ ~0.4 → E[Hamming] ≥ ~20 while planted near-clones (one extra
+      // token) stay at E[Hamming] ≈ 2. The unique block comes from 12
+      // xxhash64 calls (cheap, codegen'd) split into 4-char words; the
+      // 10×-long outlier texts pad by repeating the doc's own block
+      // (repeats change multiplicities, not the direction of the vector).
+      .withColumn("uid_base",
+        trim(regexp_replace(
+          concat((1 to 12).map(k => hex(xxhash64(col("src_id"), lit(k)))): _*),
+          "(.{4})", "$1 ")))
       .withColumn("text",
-        trim(expr(s"substring(${corpusSql}, " +
-          s"cast(pmod(base_id * 37 + 11, ${CorpusLen / 2}) as int) + 1, n_chars_target)")))
+        concat(
+          trim(expr(s"substring(${corpusSql}, " +
+            s"cast(pmod(src_id * 37 + 11, ${CorpusLen / 2}) as int) + 1, 40)")),
+          lit(" "),
+          repeat(concat(col("uid_base"), lit(" ")), 16)
+            .substr(lit(1), greatest(col("n_chars_target") - lit(40), lit(60))),
+          when(pmod(col("base_id"), lit(2000)) === 7, lit(" nearpad"))
+            .otherwise(lit(""))))
+      .withColumn("n_chars", length(col("text")))
       // score: 2-decimal values; planted terminal-digit anomalies —
       // host 3: 30% of values snapped to tenths digit 5 (GOF flag);
       // host 7: 40% integer-recorded → sentinel "None" share flag
@@ -99,7 +135,7 @@ object Pages {
         concat(lit("https://host"), col("host_id"), lit(".example/p/"), col("base_id")))
       .withColumn("html",
         to_binary(md5(concat(lit("html|"), col("url"))), lit("hex")))
-      .select("url", "warc_ts", "html", "text", "lang", "host_id", "host_bucket", "score")
+      .select("url", "warc_ts", "html", "text", "n_chars", "lang", "host_id", "host_bucket", "score")
   }
 
   /** Referential dimension: registry of allowed hosts (FIXTURES.md §2). */

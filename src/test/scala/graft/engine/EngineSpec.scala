@@ -23,8 +23,14 @@ class EngineSpec extends SparkSpec {
     assert(failing.contains("host_registered"), "planted unregistered hosts")
     assert(failing.contains("lang_consistency"), "planted lang shift")
     assert(failing.contains("score_digits"), "planted digit preference")
+    assert(failing.contains("near_dup_text"), "planted exact + near clones")
+    assert(failing.contains("chars_regression"), "planted 10×-long texts")
     assert(!failing.contains("text_bytes"), "text bytes must be consistent")
     assert(!failing.contains("score_stats"), "score stats within bounds")
+    // model families emit verdicts (present in the benched suite)
+    val allIds = res.verdicts.select("check_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Set("score_variance", "score_longitudinal").subsetOf(allIds), allIds.toString)
     // the planted (quarter, bucket) panel is among the flagged ones
     val flaggedPanels = res.verdicts
       .filter(col("check_id") === "lang_consistency" && !col("pass"))

@@ -42,6 +42,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hs.forall(_ <= 3))
   }
 
+  test("nearDupSurfaces: exact non-keepers drop; planted Pages near-clones surface") {
+    // hand exact group: keep-min-id, everything else drops as 'exact'
+    val docs = Seq(
+      ("a1", "x y z"), ("a2", "x y z"), ("a3", "x y z"),
+      ("b1", "totally different content")).toDF("url", "text")
+    val (_, drops) = Dedup.nearDupSurfaces(docs, "url", "text")
+    val d = drops.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(d == Set(("a2", "exact", "a1"), ("a3", "exact", "a1")), d.toString)
+
+    // Pages plants 1/1000 exact clones (20 at 20k rows) and 1/2000
+    // near-clones (one extra token); the generator is deterministic, so
+    // the near count is a fixed property of the fixture
+    val pages = graft.sources.Pages.generate(spark, 20000)
+    val (_, pd) = Dedup.nearDupSurfaces(pages, "url", "text")
+    val byReason = pd.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason.getOrElse("exact", 0L) == 20L, byReason.toString)
+    assert(byReason.getOrElse("near", 0L) >= 1L, byReason.toString)
+    // every near drop names a real kept id and a within-threshold distance
+    val near = pd.filter(col("reason") === "near").collect()
+    assert(near.forall(_.getInt(3) <= 3))
+  }
+
   test("simhash pairs are emitted once even when hashes agree on several blocks") {
     val sig = Seq((1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdefL)).toDF("id", "sim")
     val rows = Dedup.simhashPairs(sig, maxHamming = 3).collect()
