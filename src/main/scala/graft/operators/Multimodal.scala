@@ -72,9 +72,32 @@ object Multimodal {
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
 
-  /** Extract exact per-channel sums + luma histogram from a decoded image.
-    * getRGB converts every raster/palette layout to 8-bit sRGB, so the
-    * arithmetic is layout-independent; grayscale decodes with r=g=b. */
+  /** Exact per-channel sums + luma histogram of a decoded image. getRGB
+    * converts every raster/palette layout to 8-bit sRGB, so the arithmetic
+    * is layout-independent; grayscale decodes with r=g=b. */
+  private[operators] def rgbSums(img: BufferedImage): (Long, Long, Long, Array[Long]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        hist(math.min(7, luma >> 5)) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb, hist)
+  }
+
   private[operators] def imageFeatures(bytes: Array[Byte]): ImageFeatures = {
     val img = readImage(bytes)
     if (img == null)
@@ -83,23 +106,7 @@ object Multimodal {
     else {
       val w = img.getWidth
       val h = img.getHeight
-      var sr = 0L; var sg = 0L; var sb = 0L
-      val hist = new Array[Long](8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          val g = (rgb >> 8) & 0xff
-          val b = rgb & 0xff
-          sr += r; sg += g; sb += b
-          val luma = (299 * r + 587 * g + 114 * b) / 1000
-          hist(math.min(7, luma >> 5)) += 1L
-          x += 1
-        }
-        y += 1
-      }
+      val (sr, sg, sb, hist) = rgbSums(img)
       val n = w.toLong * h
       val feats = Array[Float](
         w.toFloat, h.toFloat,
@@ -144,10 +151,77 @@ object Multimodal {
   def decodeStub(df: DataFrame, keyCol: String, binCol: String): DataFrame =
     decodeImages(df, keyCol, binCol).select("key", "decoded", "features")
 
-  /** Frame-sample stub for video-shaped payloads: every `stride`-th 16-byte
-    * block becomes one "frame" digest — demonstrates the explode-to-frames
-    * shape (one row per sampled frame). Video codecs are NOT in the JDK;
-    * this remains a declared stub for the plan shape only. */
+  /** One sampled frame's exact features (animated GIF / any multi-image
+    * container `ImageIO` can read). */
+  final case class FrameFeatures(
+      frameIdx: Int,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      sumR: Long,
+      sumG: Long,
+      sumB: Long,
+      nPx: Long)
+
+  /** Decode every `stride`-th frame of a multi-frame payload — REAL frame
+    * sampling for animated GIF (the one video-ish container the pure JDK
+    * can decode: `ImageIO`'s GIF reader exposes getNumImages/read(i)).
+    * Single-frame images yield one row (frame 0); undecodable payloads
+    * yield one FLAGGED row (`decoded = false`). Frames are decoded as
+    * stored (no inter-frame disposal compositing — deterministic and
+    * documented; partial-update frames report their own raster). */
+  private[operators] def frameFeatures(bytes: Array[Byte], stride: Int): Seq[FrameFeatures] = {
+    val failed = Seq(FrameFeatures(0, decoded = false, 0, 0, 0L, 0L, 0L, 0L))
+    if (bytes == null || bytes.length == 0) return failed
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return failed
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return failed
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = math.max(1,
+          try reader.getNumImages(true) catch { case _: Exception => 1 })
+        (0 until n by math.max(1, stride)).map { i =>
+          try {
+            val img = reader.read(i)
+            val (sr, sg, sb, _) = rgbSums(img)
+            FrameFeatures(i, decoded = true, img.getWidth, img.getHeight,
+              sr, sg, sb, img.getWidth.toLong * img.getHeight)
+          } catch {
+            case _: Exception => FrameFeatures(i, decoded = false, 0, 0, 0L, 0L, 0L, 0L)
+          }
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Frame sampling as a DataFrame op: one row per sampled frame, per-row
+    * on the executors, shuffle-free (M-explode like the reference's
+    * one-vs-rest but over decoded frames). */
+  def sampleFrames(df: DataFrame, keyCol: String, binCol: String,
+      stride: Int = 1): DataFrame = {
+    val framesUdf = udf((b: Array[Byte]) => frameFeatures(b, stride))
+    df.select(col(keyCol).cast("string").as("key"), col(binCol).as("payload"))
+      .withColumn("__f", explode(framesUdf(col("payload"))))
+      .select(col("key"),
+        col("__f.frameIdx").as("frame_idx"),
+        col("__f.decoded").as("decoded"),
+        col("__f.width").as("width"),
+        col("__f.height").as("height"),
+        col("__f.sumR").as("sum_r"),
+        col("__f.sumG").as("sum_g"),
+        col("__f.sumB").as("sum_b"),
+        col("__f.nPx").as("n_px"))
+  }
+
+  /** Frame-sample stub for TRUE video codecs (mp4/webm — not in the JDK):
+    * every `stride`-th 16-byte block becomes one "frame" digest —
+    * demonstrates the explode-to-frames shape (one row per sampled frame).
+    * Animated GIF frame sampling is REAL — see `sampleFrames`. */
   def frameSampleStub(df: DataFrame, keyCol: String, binCol: String, stride: Int = 4): DataFrame =
     df.select(col(keyCol).cast("string").as("key"), col(binCol).as("payload"))
       .withColumn("n_frames", greatest(floor(length(col("payload")) / (16 * stride)), lit(1)).cast("int"))
@@ -182,4 +256,43 @@ object Multimodal {
   /** Column form of `syntheticPng` for driver-contract queries. */
   def syntheticPngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((seed: Long, w: Int, h: Int) => syntheticPng(seed, w, h))
+
+  /** Deterministic ANIMATED-GIF generator: `nFrames` grayscale frames with
+    * pixel value v(f, x, y) = (seed·7 + f·41 + x·13 + y·31) % 256 on an
+    * explicit 256-entry gray palette — every value has an exact palette
+    * slot, so the GIF round-trips losslessly and decoded channel sums
+    * (r = g = b = Σv) match a closed-form oracle bit-exactly. */
+  def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val gray = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    var f = 0
+    while (f < nFrames) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((seed * 7 + f * 41 + x * 13 + y * 31) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Column form of `syntheticGif` for driver-contract queries. */
+  def syntheticGifUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((seed: Long, w: Int, h: Int, n: Int) => syntheticGif(seed, w, h, n))
 }

@@ -125,6 +125,43 @@ object OperatorQueries {
                         JOIN ys ON ys.y < 2 + i.doc_id % 3
              GROUP BY 1 ORDER BY 1""")),
 
+    // REAL multi-frame extraction (animated GIF via the JDK's ImageIO
+    // reader getNumImages/read(i)): deterministic grayscale animated GIFs
+    // on an explicit 256-gray palette (lossless), one row per frame with
+    // exact channel sums — closed-form SQL oracle (q57 pattern + a frame
+    // dimension). True video codecs stay a declared stub.
+    QuerySpec("q61_gif_frames",
+      (s, dir) => {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 8)
+          .withColumn("__w", (lit(4) + col("doc_id") % 3).cast("int"))
+          .withColumn("__n", (lit(2) + col("doc_id") % 3).cast("int"))
+          // height >= 5: the JDK GIF codec corrupts rasters of height 2-4
+          // (measured; see MultimodalSpec) — keep fixtures out of that zone
+          .withColumn("payload",
+            Multimodal.syntheticGifUdf(col("doc_id"), col("__w"), lit(6), col("__n")))
+        Multimodal.sampleFrames(docs, "doc_id", "payload")
+          .select(col("key").cast("long").as("doc_id"), col("frame_idx"),
+            col("decoded"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("n_px"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH xs AS (SELECT x FROM generate_series(0, 6) t(x)),
+               ys AS (SELECT y FROM generate_series(0, 5) t(y)),
+               fs AS (SELECT f FROM generate_series(0, 4) t(f)),
+               ids AS (SELECT doc_id FROM documents WHERE doc_id < 8)
+             SELECT i.doc_id, CAST(fs.f AS INT) AS frame_idx, true AS decoded,
+               CAST(4 + i.doc_id % 3 AS INT) AS width,
+               CAST(6 AS INT) AS height,
+               CAST(sum((i.doc_id * 7 + fs.f * 41 + xs.x * 13 + ys.y * 31) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((i.doc_id * 7 + fs.f * 41 + xs.x * 13 + ys.y * 31) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((i.doc_id * 7 + fs.f * 41 + xs.x * 13 + ys.y * 31) % 256) AS BIGINT) AS sum_b,
+               CAST(count(*) AS BIGINT) AS n_px
+             FROM ids i
+               JOIN fs ON fs.f < 2 + i.doc_id % 3
+               JOIN xs ON xs.x < 4 + i.doc_id % 3
+               CROSS JOIN ys
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // A10 pairwise grid: i<j chi-square statistic arithmetic per source
     // pair (Categorical_Check.sas:368-419 fused as one cells self-join)
     QuerySpec("q54_pairwise_chisq",

@@ -477,6 +477,56 @@ object StatQueries {
                      / ((grand - panel_tot) * bin_tot / grand)
                  ELSE 0 END), 6) AS chisq,
                CAST(max(panel_tot) AS BIGINT) AS n
-             FROM m GROUP BY 1 ORDER BY 1"""))
+             FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // M9, driver-visible slice (round-3 verdict item 7): classic 2×2
+    // Fisher exact test — per l_returnflag, the (linestatus = F) ×
+    // (quantity > 25) table, two-sided p = sum of same-margin tables whose
+    // point probability <= observed (× 1+1e-7 slack), exactly
+    // Distributions.fisherExact2x2's rule (Categorical_Check.sas:298,305).
+    // DuckDB expresses the same hypergeometric enumeration with lgamma +
+    // a correlated generate_series — giving the Fisher path a DuckDB hash
+    // row in addition to the python-oracle 2×C coverage (q47).
+    QuerySpec("q60_fisher_2x2",
+      (s, dir) => {
+        val cells = read(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          sum(when(col("l_linestatus") === "F" && col("l_quantity") > 25, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("l_linestatus") === "F" && col("l_quantity") <= 25, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("l_linestatus") =!= "F" && col("l_quantity") > 25, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("l_linestatus") =!= "F" && col("l_quantity") <= 25, 1L)
+            .otherwise(0L)).as("d"))
+        val pUdf = udf((a: Long, b: Long, c: Long, d: Long) =>
+          graft.stats.Distributions.fisherExact2x2(a, b, c, d))
+        cells // reduced frame: one row per returnflag — UDF off the hot path
+          .withColumn("fisher_p", round(pUdf(col("a"), col("b"), col("c"), col("d")), 6))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH cells AS (
+               SELECT l_returnflag,
+                 CAST(sum(CASE WHEN l_linestatus = 'F' AND l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN l_linestatus = 'F' AND l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN l_linestatus <> 'F' AND l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN l_linestatus <> 'F' AND l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS d
+               FROM lineitem GROUP BY 1),
+             m AS (SELECT *, a + b AS r1, c + d AS r2, a + c AS c1, a + b + c + d AS n
+               FROM cells),
+             e AS (SELECT m.*, gs.k
+               FROM m, generate_series(0, 1000000) gs(k)
+               WHERE gs.k BETWEEN greatest(0, m.c1 - m.r2) AND least(m.r1, m.c1)),
+             pr AS (SELECT *,
+                 exp(lgamma(r1 + 1) - lgamma(k + 1) - lgamma(r1 - k + 1)
+                   + lgamma(r2 + 1) - lgamma(c1 - k + 1) - lgamma(r2 - c1 + k + 1)
+                   - lgamma(n + 1) + lgamma(c1 + 1) + lgamma(n - c1 + 1)) AS pk
+               FROM e),
+             obs AS (SELECT l_returnflag, pk AS p_obs FROM pr WHERE k = a)
+             SELECT pr.l_returnflag, max(pr.a) AS a, max(pr.b) AS b,
+               max(pr.c) AS c, max(pr.d) AS d,
+               round(least(1.0, sum(CASE WHEN pr.pk <= o.p_obs * (1 + 1e-7)
+                 THEN pr.pk ELSE 0 END)), 6) AS fisher_p
+             FROM pr JOIN obs o ON pr.l_returnflag = o.l_returnflag
+             GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -87,7 +87,8 @@ class CheckCompilerSpec extends SparkSpec {
       RegressionOutlierCheck("ro", "v", "id", contCovariates = Seq("v"), scope = Seq("grp")),
       LongitudinalOutlierCheck("lo", "v", "id", discCovariates = Seq("grp")),
       DriftCheck("dr", "v", "ts", scope = Seq("grp")),
-      ByteIdentityCheck("bi", "id", "grp"))
+      ByteIdentityCheck("bi", "id", "grp"),
+      NearDupCheck("nd", idCol = "id", textCol = "grp"))
     checks.foreach { c =>
       val refd = CheckCompiler.referencedColumns(c).toSet
       val declared: Set[String] = c match {
@@ -105,9 +106,23 @@ class CheckCompilerSpec extends SparkSpec {
           Set(x.outcome, x.idCol) ++ x.discCovariates ++ x.contCovariates ++ x.scope
         case x: DriftCheck => Set(x.column, x.dateCol) ++ x.scope
         case x: ByteIdentityCheck => Set(x.keyCol, x.column)
+        case x: NearDupCheck => Set(x.idCol, x.textCol)
       }
       assert(declared.subsetOf(refd), s"${c.id}: ${declared -- refd} missing from referencedColumns")
     }
+  }
+
+  test("near-dup parameters default with warnings; scope normalizes to global") {
+    val (fixed, warnings) = CheckCompiler.compile(df, Seq(
+      NearDupCheck("nd", idCol = "id", textCol = "grp",
+        maxHamming = 12, maxDupFrac = 2.0, maxBucket = 0, scope = Seq("grp"))))
+    val nd = fixed.collectFirst { case c: NearDupCheck => c }.get
+    assert(nd.maxHamming == 3 && nd.maxDupFrac == 0.0 &&
+      nd.maxBucket == 5000 && nd.scope.isEmpty)
+    assert(warnings.count(_.kind == "defaulted_param") == 4)
+    val (_, w2) = CheckCompiler.compile(df, Seq(
+      NearDupCheck("nd2", idCol = "id", textCol = "grp", maxHamming = 0)))
+    assert(w2.isEmpty, "maxHamming=0 (exact-only) is a valid configuration")
   }
 
   test("valid suite compiles unchanged with no warnings") {

@@ -196,4 +196,26 @@ class EngineSpec extends SparkSpec {
     val meta = graft.operators.Multimodal.describeBinary(pages.limit(5), "url", "html")
     assert(meta.collect().forall(_.getAs[Long]("n_bytes") == 16L))
   }
+
+  test("animated-GIF frame sampling is real: exact per-frame sums, stride, flagged fallback") {
+    import spark.implicits._
+    // 5-frame 6×6 gif (height >= 5: the JDK GIF codec corrupts height 2-4
+    // rasters), stride 2 → frames 0, 2, 4 with closed-form sums
+    val gif = graft.operators.Multimodal.syntheticGif(9L, 6, 6, 5)
+    val df = Seq(("g1", gif), ("bad", Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val rows = graft.operators.Multimodal.sampleFrames(df, "id", "payload", stride = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(rows.keySet == Set(("g1", 0), ("g1", 2), ("g1", 4), ("bad", 0)))
+    def expected(f: Int): Long =
+      (for (x <- 0 until 6; y <- 0 until 6)
+        yield (9L * 7 + f * 41 + x * 13 + y * 31) % 256).sum
+    for (f <- Seq(0, 2, 4)) {
+      val r = rows(("g1", f))
+      assert(r.getBoolean(2), s"frame $f decodes")
+      assert(r.getAs[Long]("sum_r") == expected(f), s"frame $f exact sum")
+      assert(r.getAs[Long]("sum_g") == expected(f) && r.getAs[Long]("sum_b") == expected(f))
+      assert(r.getAs[Long]("n_px") == 36L)
+    }
+    assert(!rows(("bad", 0)).getBoolean(2), "undecodable payload is flagged, not dropped")
+  }
 }
