@@ -79,7 +79,12 @@ object ScalingBench {
       //  - dedup_signatures: the near-dup/minhash signature computation
       //    (compute-BOUND per row — md5 per token) so the CPU-scaling
       //    evidence covers a heavy op, not just hash/digit/panel derivation
-      val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      // SPARK_GRAFT_OPS selects a subset (comma list) — the light keyscan
+      // op runs at 100M for cross-round comparability while the heavy
+      // signature op uses a smaller page count in the same wall budget
+      val opFilter = sys.env.get("SPARK_GRAFT_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      val allOps: Seq[(String, DataFrame => DataFrame)] = Seq(
         "keyscan_digit_panel" -> (p => p.select(
           xxhash64(col("url")).as("kh"),
           xxhash64(sha2(col("text").cast("binary"), 256)).as("digest"),
@@ -89,6 +94,7 @@ object ScalingBench {
           graft.functions.SimHash64.ofText(col("text")).as("sim"),
           xxhash64(graft.functions.TextFunctions
             .minhashSignature(col("text"), 3, 12)).as("mh"))))
+      val ops = allOps.filter { case (n, _) => opFilter.forall(_.contains(n)) }
       def computeOnce(cpus: Int, proj: DataFrame => DataFrame): Double = {
         val spark = SparkSession.builder().master(s"local[$cpus]")
           .config("spark.sql.shuffle.partitions", cpus)

@@ -74,12 +74,11 @@ object Similarity {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     // hot-cell cap: a degenerate embedding cell (e.g. all-zero vectors)
     // pairs quadratically — truncate to the first maxBucket members by id
-    // (same rationale + mechanism as Dedup's bucket-local joins)
+    // (same mechanism as Dedup's bucket-local joins: count-detect the hot
+    // cells, rank only their rows, cold rows pass through map-side)
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", VectorFunctions.signBucket(col("vec"), bits))
-    val c = c0.withColumn("__bn",
-        row_number().over(Window.partitionBy("cell").orderBy(col("id"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val c = Dedup.capBucket(c0, "cell", "id", maxBucket)
     val a = c.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = c.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))

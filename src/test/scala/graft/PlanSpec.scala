@@ -154,6 +154,36 @@ class PlanSpec extends SparkSpec {
         s"(plan prints top-down):\n${p.take(1200)}")
   }
 
+  test("multi-probe ANN explodes ONLY the broadcast query side; corpus stays single-cell") {
+    import spark.implicits._
+    val corpus = (1L to 500L).map(i => (i, Array.fill(8)(i * 0.1f))).toDF("id", "vec")
+    val queries = (1L to 5L).map(i => (i + 1000L, Array.fill(8)(i * 0.2f))).toDF("id", "vec")
+    val p = plan(graft.operators.Similarity.bucketedTopK(
+      corpus, queries, "id", "vec", k = 3, bits = 8, probeHamming = 1))
+    val generates = "Generate".r.findAllIn(p).size
+    assert(generates == 1,
+      s"exactly ONE explode (the (bits+1)× probe fan-out on the query side):\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "cell join must broadcast the query side")
+    // the explode must sit on the broadcast side: below BroadcastExchange
+    val bx = p.indexOf("BroadcastExchange")
+    val gen = p.indexOf("Generate")
+    assert(bx >= 0 && gen > bx,
+      "probe fan-out belongs to the broadcast (query) lineage, never the corpus")
+  }
+
+  test("near-dup surfaces: cached signature pass; near phase excludes exact drops (anti-join)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
+    val (sig, drops) = graft.operators.Dedup.nearDupSurfaces(docs, "id", "text")
+    try {
+      val p = plan(drops)
+      assert(p.contains("LeftAnti"),
+        s"near candidates must anti-join away the exact-dropped ids:\n${p.take(1200)}")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        "both phases must ride the ONE cached (id, fp, sim) signature frame")
+    } finally sig.unpersist()
+  }
+
   test("regression-outlier flagging pass is UDF-free (broadcast cutoff join)") {
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
     val f = graft.operators.RegressionOutlier.flagged(li,
