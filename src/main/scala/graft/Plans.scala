@@ -41,6 +41,27 @@ object Plans {
       Referential.orphans(pages, Pages.hosts(spark), ref, suite.keyCol))
     show("column-stats sketch pass (KLL + HLL, one scan)")(
       ColumnStats.profile(pages, suite.checks.collect { case c: ColumnStatsCheck => c }))
+
+    // ---- round-3/4 lineages ----
+    show("exact drop-list, two-phase (hash-agg dup fingerprints -> semi-join -> rank dups only)")(
+      Dedup.exactDropList(pages, "url", "text"))
+    val (sig, drops) = Dedup.nearDupSurfaces(pages, "url", "text")
+    show("NearDupCheck drops (ONE cached signature pass; near phase anti-joins exact drops)")(drops)
+    sig.unpersist()
+    // deterministic synthetic embeddings — plan shape only
+    val emb = spark.range(2000).select(col("id"),
+      array((1 to 8).map(i => sin(col("id") * i).cast("float")): _*).as("vec"))
+    val qs = spark.range(5).select((col("id") + 10000L).as("id"),
+      array((1 to 8).map(i => cos(col("id") * i).cast("float")): _*).as("vec"))
+    show("multi-probe ANN (corpus single-cell; (bits+1)x explode on the broadcast query side)")(
+      Similarity.bucketedTopK(emb, qs, "id", "vec", k = 5, bits = 8, probeHamming = 1))
+    val ro = suite.checks.collectFirst { case c: graft.checks.RegressionOutlierCheck => c }.get
+    show("regression-outlier flagging (Gram agg -> broadcast cutoffs; UDF-free wide pass)")(
+      RegressionOutlier.flagged(pages, ro))
+    val imgs = spark.range(64).select(col("id").as("img_id"),
+      Multimodal.syntheticPngUdf(col("id"), lit(16), lit(16)).as("bytes"))
+    show("image decode feature pass (one scan; per-row decoder is the only UDF)")(
+      Multimodal.decodeImages(imgs, "img_id", "bytes"))
     spark.stop()
   }
 }
