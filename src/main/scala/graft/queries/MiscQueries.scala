@@ -157,6 +157,28 @@ object MiscQueries {
       },
       Some("""SELECT event_type, count(*) AS cnt,
                round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
-             FROM events GROUP BY 1 ORDER BY 1"""))
+             FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // §2.10 streaming surface, batch-parity leg: streamingDedup's batch
+    // branch keeps the EARLIEST-ts row per normalized-text fingerprint —
+    // the same keep-first-arrival policy the watermarked streaming path
+    // applies (StreamingSpec asserts streaming ≡ batch on the fp set;
+    // this query pins the kept-ROW policy against an SQL oracle)
+    QuerySpec("q62_streaming_dedup",
+      (s, dir) => graft.streaming.StreamingChecks.streamingDedup(
+          read(s, dir, "events"), "ts", "event_type")
+        .select(col("event_id"), col("ts"), col("event_type"), col("fp"))
+        .orderBy("fp"),
+      Some("""WITH e AS (
+          SELECT event_id, ts, event_type,
+                 md5(regexp_replace(lower(trim(event_type)), ' +', ' ')) AS fp
+          FROM events
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY ts) AS rn
+          FROM e
+        )
+        SELECT event_id, ts, event_type, fp
+        FROM r WHERE rn = 1 ORDER BY fp"""))
   )
 }

@@ -130,7 +130,58 @@ object TextQueries {
             SimHash64.ofText(expr("substring(text, instr(text, ' ') + 1)")))
             .as("hamming_to_neardup"))
         .orderBy("doc_id"),
-      None),
+      // DuckDB CAN express simhash: md5 per whitespace token (same digest
+      // as SimHash64's per-token hash), first 16 hex chars = the 8
+      // big-endian bytes, bit b of the 64-bit hash = bit (b%4) of hex
+      // digit (16 - b/4), ±1 majority vote per bit, reassemble with
+      // BIGINT shifts (bit 63 via the min-long constant; sum() is
+      // HUGEINT — cast back before adding, a double would lose low bits)
+      Some("""WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+        ),
+        variants AS (
+          SELECT doc_id, 0 AS v, text FROM docs
+          UNION ALL
+          SELECT doc_id, 1 AS v, substr(text, strpos(text, ' ') + 1) AS text
+          FROM docs
+        ),
+        toks AS (
+          SELECT doc_id, v,
+                 unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+          FROM variants WHERE length(trim(text)) > 0
+        ),
+        tokhash AS (
+          SELECT doc_id, v, substr(md5(tok), 1, 16) AS h16 FROM toks
+        ),
+        bitsgn AS (
+          SELECT doc_id, v, b.bit,
+            CASE WHEN ((strpos('0123456789abcdef',
+                               substr(h16, 16 - b.bit // 4, 1)) - 1)
+                       // (1 << (b.bit % 4))) % 2 = 1
+                 THEN 1 ELSE -1 END AS sgn
+          FROM tokhash CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+        ),
+        counts AS (
+          SELECT doc_id, v, bit, sum(sgn) AS c FROM bitsgn GROUP BY 1, 2, 3
+        ),
+        sh AS (
+          SELECT doc_id, v,
+            (sum(CASE WHEN c > 0 AND bit < 63
+                      THEN 1::BIGINT << bit ELSE 0 END)::BIGINT
+             + sum(CASE WHEN c > 0 AND bit = 63
+                        THEN -9223372036854775807 - 1 ELSE 0 END)::BIGINT)
+              AS simhash
+          FROM counts GROUP BY 1, 2
+        )
+        SELECT d.doc_id,
+               coalesce(s0.simhash, 0) AS simhash,
+               bit_count(xor(coalesce(s0.simhash, 0),
+                             coalesce(s1.simhash, 0)))::INT
+                 AS hamming_to_neardup
+        FROM docs d
+        LEFT JOIN sh s0 ON s0.doc_id = d.doc_id AND s0.v = 0
+        LEFT JOIN sh s1 ON s1.doc_id = d.doc_id AND s1.v = 1
+        ORDER BY d.doc_id""")),
 
     // Language-ID: marker-word heuristic, deterministic argmax
     QuerySpec("q32_langid",
