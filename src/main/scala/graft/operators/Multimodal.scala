@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * (unknown codec, truncated bytes, genuinely-non-image column) falls back
   * to a deterministic byte-fold feature vector and is FLAGGED
   * (`decoded = false`) — the pipeline keeps moving and the caller can
-  * count/quarantine failures. Audio/video codecs are not in the JDK, so
-  * `frameSampleStub` stays a declared stub demonstrating the
-  * explode-to-frames plan shape.
+  * count/quarantine failures.
+  *
+  * Audio decode is REAL too: `javax.sound.sampled` ships in the JDK and
+  * reads WAV/AIFF/AU PCM payloads — `decodeAudio` extracts exact integer
+  * sample sums (lossless for PCM, so hash-exact oracles work — the q57
+  * pattern). Only TRUE video codecs (mp4/webm) are absent from the JDK;
+  * `frameSampleStub` stays a declared stub for those, while animated-GIF
+  * frame sampling is real (`sampleFrames`).
   */
 object Multimodal {
 
@@ -295,4 +300,149 @@ object Multimodal {
   /** Column form of `syntheticGif` for driver-contract queries. */
   def syntheticGifUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((seed: Long, w: Int, h: Int, n: Int) => syntheticGif(seed, w, h, n))
+
+  // ───────────────────────── audio ─────────────────────────
+
+  /** Audio features from one decoded payload. Sample sums are exact
+    * integers in the 16-bit sample domain (8-bit PCM is centered and
+    * scaled by 256), so PCM payloads can be oracled hash-exact. `ampHist`
+    * is an 8-bin histogram of channel-0 amplitude (bin width 8192 over
+    * [-32768, 32768)). */
+  final case class AudioFeatures(
+      decoded: Boolean,
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      nFrames: Long,
+      sumCh0: Long,
+      sumCh1: Long,
+      sumSqCh0: Long,
+      peakAbs: Int,
+      ampHist: Array[Long])
+
+  /** Decode one audio payload with the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU containers). Supported sample layouts: 16-bit signed
+    * PCM (either endianness) and 8-bit unsigned PCM — the formats the
+    * JDK parses losslessly without a resampling pass. Anything else
+    * (float PCM, compressed encodings, no container match) returns the
+    * FLAGGED failure row, mirroring the image path's policy. */
+  private[operators] def audioFeatures(bytes: Array[Byte]): AudioFeatures = {
+    val failed = AudioFeatures(decoded = false, 0, 0, 0, 0L, 0L, 0L, 0L, 0,
+      new Array[Long](8))
+    if (bytes == null || bytes.length == 0) return failed
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (ais == null) return failed
+    try {
+      import javax.sound.sampled.AudioFormat.Encoding
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      val ok = ch >= 1 &&
+        ((fmt.getEncoding == Encoding.PCM_SIGNED && bits == 16) ||
+          (fmt.getEncoding == Encoding.PCM_UNSIGNED && bits == 8))
+      if (!ok) return failed
+      val data = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameSize = bytesPerSample * ch
+      val n = data.length / frameSize
+      val be = fmt.isBigEndian
+      var sum0 = 0L; var sum1 = 0L; var sq0 = 0L; var peak = 0
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < ch) {
+          val off = i * frameSize + c * bytesPerSample
+          // normalize to the signed 16-bit sample domain
+          val v =
+            if (bits == 16) {
+              val b0 = data(off) & 0xff
+              val b1 = data(off + 1) & 0xff
+              (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+            } else ((data(off) & 0xff) - 128) << 8
+          if (c == 0) {
+            sum0 += v; sq0 += v.toLong * v
+            hist(math.min(7, (v + 32768) >> 13)) += 1L
+          } else if (c == 1) sum1 += v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          c += 1
+        }
+        i += 1
+      }
+      AudioFeatures(decoded = true, fmt.getSampleRate.toInt, ch, bits, n,
+        sum0, sum1, sq0, peak, hist)
+    } catch { case _: Exception => failed }
+    finally ais.close()
+  }
+
+  /** Audio decode + feature extraction: one feature row per input row,
+    * per-partition on the executors, shuffle-free (same plan shape as
+    * `decodeImages`). Exact integer columns (`sum_ch0`/`sum_ch1`/
+    * `sumsq_ch0`/`peak_abs`) enable hash-exact oracles; `power_ch0` and
+    * `duration_sec` are derived, null on undecodable rows (ANSI-safe). */
+  def decodeAudio(df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val featUdf = udf((b: Array[Byte]) => audioFeatures(b))
+    df.select(col(keyCol).cast("string").as("key"), col(binCol).as("payload"))
+      .withColumn("__f", featUdf(col("payload")))
+      .select(col("key"),
+        col("__f.decoded").as("decoded"),
+        col("__f.sampleRate").as("sample_rate"),
+        col("__f.channels").as("channels"),
+        col("__f.bits").as("bits"),
+        col("__f.nFrames").as("n_frames"),
+        col("__f.sumCh0").as("sum_ch0"),
+        col("__f.sumCh1").as("sum_ch1"),
+        col("__f.sumSqCh0").as("sumsq_ch0"),
+        col("__f.peakAbs").as("peak_abs"),
+        when(col("__f.nFrames") > 0,
+          col("__f.sumSqCh0").cast("double") / col("__f.nFrames"))
+          .as("power_ch0"),
+        when(col("__f.decoded") && col("__f.sampleRate") > 0,
+          col("__f.nFrames").cast("double") / col("__f.sampleRate"))
+          .as("duration_sec"),
+        col("__f.ampHist").as("amp_hist"))
+  }
+
+  /** Deterministic test-audio generator: a hand-rolled RIFF/WAVE PCM
+    * payload whose sample at (channel c, frame i) is
+    * `((seed·7 + c·41 + i·13) mod 65536) − 32768` (16-bit signed LE), or
+    * the same value mapped to `(v >> 8) + 128` for 8-bit unsigned. PCM is
+    * lossless, so decoded sums match a closed-form oracle bit-exactly. */
+  def syntheticWav(seed: Long, sampleRate: Int, channels: Int, nFrames: Int,
+      bits: Int = 16): Array[Byte] = {
+    require(bits == 16 || bits == 8, s"unsupported bits=$bits")
+    val bytesPerSample = bits / 8
+    val dataSize = nFrames * channels * bytesPerSample
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * bytesPerSample)
+    bb.putShort((channels * bytesPerSample).toShort)
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((seed * 7 + c * 41 + i * 13) % 65536) - 32768).toInt
+        if (bits == 16) bb.putShort(v.toShort)
+        else bb.put((((v >> 8) + 128) & 0xff).toByte)
+        c += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Column form of `syntheticWav` for driver-contract queries. */
+  def syntheticWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((seed: Long, rate: Int, ch: Int, n: Int) => syntheticWav(seed, rate, ch, n))
 }

@@ -162,6 +162,60 @@ object OperatorQueries {
                CROSS JOIN ys
              GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // M4 type=UN surface: unstructured within-subject covariance on the
+    // day-of-week panel of the events table — complete-case pooled
+    // residual covariance, per-subject Mahalanobis d² vs the χ²_T cutoff
+    // (PROC MIXED repeated/type=UN shape; rows-only here, matrix math
+    // py-oracled via numpy in tools/pyoracles.py)
+    QuerySpec("q64_un_panel",
+      (s, dir) => {
+        val ev = read(s, dir, "events").withColumn("dow", dayofweek(col("ts")))
+        UnPanelOutlier.scored(ev,
+          UnPanelOutlier.Config("un", "value", "user_id", "dow"))
+          .select(col("__subj").cast("long").as("user_id"),
+            round(col("d2"), 6).as("d2"),
+            round(col("cutoff"), 6).as("cutoff"),
+            col("t_slots"), col("k_subjects"), col("flag_outlier"))
+          .orderBy("user_id")
+      },
+      None),
+
+    // REAL audio decode (javax.sound.sampled, in-JDK): deterministic
+    // synthetic PCM WAVs generated per row, decoded back to exact sample
+    // sums in the 16-bit domain — PCM is lossless, so the closed-form SQL
+    // oracle reproduces sums/sum-of-squares/peak bit-exactly (q57 pattern)
+    QuerySpec("q63_audio_decode",
+      (s, dir) => {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 16)
+          .withColumn("__ch", (lit(1) + col("doc_id") % 2).cast("int"))
+          .withColumn("__n", (lit(200) + col("doc_id") * 37).cast("int"))
+          .withColumn("payload",
+            Multimodal.syntheticWavUdf(col("doc_id"), lit(8000), col("__ch"), col("__n")))
+        Multimodal.decodeAudio(docs, "doc_id", "payload")
+          .select(col("key").cast("long").as("doc_id"), col("decoded"),
+            col("sample_rate"), col("channels"), col("bits"), col("n_frames"),
+            col("sum_ch0"), col("sum_ch1"), col("sumsq_ch0"), col("peak_abs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 16),
+               p AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+                            200 + 37 * doc_id AS n FROM ids),
+               s AS (SELECT p.doc_id, p.channels, p.n, i.i, c.c,
+                            (p.doc_id * 7 + c.c * 41 + i.i * 13) % 65536 - 32768 AS v
+                     FROM p
+                     JOIN (SELECT unnest(range(0, 800)) AS i) i ON i.i < p.n
+                     JOIN (SELECT unnest(range(0, 2)) AS c) c ON c.c < p.channels)
+             SELECT doc_id, true AS decoded,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(max(channels) AS INT) AS channels,
+               CAST(16 AS INT) AS bits,
+               CAST(max(n) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0,
+               CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1,
+               CAST(sum(CASE WHEN c = 0 THEN v * v ELSE 0 END) AS BIGINT) AS sumsq_ch0,
+               CAST(max(abs(v)) AS INT) AS peak_abs
+             FROM s GROUP BY 1 ORDER BY 1""")),
+
     // A10 pairwise grid: i<j chi-square statistic arithmetic per source
     // pair (Categorical_Check.sas:368-419 fused as one cells self-join)
     QuerySpec("q54_pairwise_chisq",

@@ -115,4 +115,74 @@ class MultimodalSpec extends SparkSpec {
       assert(row.getAs[Long]("sum_b") == sb, s"seed=$seed b")
     }
   }
+
+  // ───────────────────────── audio ─────────────────────────
+
+  /** Closed-form 16-bit sample value of `Multimodal.syntheticWav`. */
+  private def wavSample(seed: Long, c: Int, i: Int): Long =
+    (seed * 7 + c * 41 + i * 13) % 65536 - 32768
+
+  test("WAV decode: exact sums, sum of squares, peak, histogram (16-bit stereo)") {
+    val (seed, n) = (5L, 300)
+    val df = Seq(("a", Multimodal.syntheticWav(seed, 8000, 2, n))).toDF("id", "payload")
+    val row = Multimodal.decodeAudio(df, "id", "payload").collect()(0)
+    assert(row.getAs[Boolean]("decoded"))
+    assert(row.getAs[Int]("sample_rate") == 8000)
+    assert(row.getAs[Int]("channels") == 2 && row.getAs[Int]("bits") == 16)
+    assert(row.getAs[Long]("n_frames") == n.toLong)
+    val ch0 = (0 until n).map(wavSample(seed, 0, _))
+    val ch1 = (0 until n).map(wavSample(seed, 1, _))
+    assert(row.getAs[Long]("sum_ch0") == ch0.sum)
+    assert(row.getAs[Long]("sum_ch1") == ch1.sum)
+    assert(row.getAs[Long]("sumsq_ch0") == ch0.map(v => v * v).sum)
+    assert(row.getAs[Int]("peak_abs") == (ch0 ++ ch1).map(v => math.abs(v)).max)
+    val wantHist = new Array[Long](8)
+    ch0.foreach(v => wantHist(math.min(7, ((v + 32768) >> 13).toInt)) += 1)
+    assert(row.getSeq[Long](row.fieldIndex("amp_hist")) == wantHist.toSeq)
+    assert(math.abs(row.getAs[Double]("duration_sec") - n / 8000.0) < 1e-12)
+    assert(math.abs(row.getAs[Double]("power_ch0")
+      - ch0.map(v => v * v).sum.toDouble / n) < 1e-6)
+  }
+
+  test("WAV decode: 8-bit unsigned mono maps to the centered 16-bit domain") {
+    val (seed, n) = (3L, 128)
+    val df = Seq(("m", Multimodal.syntheticWav(seed, 4000, 1, n, bits = 8)))
+      .toDF("id", "payload")
+    val row = Multimodal.decodeAudio(df, "id", "payload").collect()(0)
+    assert(row.getAs[Boolean]("decoded"))
+    assert(row.getAs[Int]("channels") == 1 && row.getAs[Int]("bits") == 8)
+    // the 8-bit writer quantizes v to (v >> 8) << 8 — reproduce exactly
+    val ch0 = (0 until n).map(i => (wavSample(seed, 0, i) >> 8) << 8)
+    assert(row.getAs[Long]("sum_ch0") == ch0.sum)
+    assert(row.getAs[Long]("sum_ch1") == 0L)
+    assert(row.getAs[Long]("sumsq_ch0") == ch0.map(v => v * v).sum)
+  }
+
+  test("AIFF (big-endian PCM) decodes to the same sums as the WAV source") {
+    import javax.sound.sampled._
+    val (seed, n) = (9L, 200)
+    val wav = Multimodal.syntheticWav(seed, 8000, 2, n)
+    val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(src, AudioFileFormat.Type.AIFF, out)
+    val df = Seq(("aiff", out.toByteArray)).toDF("id", "payload")
+    val row = Multimodal.decodeAudio(df, "id", "payload").collect()(0)
+    assert(row.getAs[Boolean]("decoded"))
+    val ch0 = (0 until n).map(wavSample(seed, 0, _))
+    assert(row.getAs[Long]("n_frames") == n.toLong)
+    assert(row.getAs[Long]("sum_ch0") == ch0.sum, "BE path sum mismatch")
+    assert(row.getAs[Long]("sumsq_ch0") == ch0.map(v => v * v).sum)
+  }
+
+  test("undecodable audio payloads are flagged, mixed batches keep moving") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val df = Seq(("ok", Multimodal.syntheticWav(1, 8000, 1, 50)),
+      ("bad", junk), ("empty", Array.emptyByteArray)).toDF("id", "payload")
+    val rows = Multimodal.decodeAudio(df, "id", "payload")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(rows("ok").getAs[Boolean]("decoded"))
+    assert(!rows("bad").getAs[Boolean]("decoded"))
+    assert(!rows("empty").getAs[Boolean]("decoded"))
+    assert(rows("bad").isNullAt(rows("bad").fieldIndex("duration_sec")))
+  }
 }

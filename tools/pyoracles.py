@@ -346,7 +346,51 @@ def q59_fgls_model(con, sf_dir):
         dict(keys=["partition"], rtol=1e-5, atol=1e-6))
 
 
+# ---------------------------------------------------------------- q64
+def q64_un_panel(con, sf_dir):
+    """type=UN panel outliers: complete-case pooled residual covariance on
+    the day-of-week panel, per-subject Mahalanobis d2 vs chi2_T cutoff.
+    Independent reimplementation: pandas pivot + numpy linalg + own chi2
+    quantile (bisection on pystats.chi2_sf)."""
+    # DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — align
+    ev = con.sql(
+        f"SELECT user_id, dayofweek(ts) + 1 AS dow, value "
+        f"FROM '{sf_dir}/events.parquet'").df()
+    cell = ev.groupby(["user_id", "dow"])["value"].mean().reset_index()
+    t = cell["dow"].nunique()
+    counts = cell.groupby("user_id")["dow"].nunique()
+    complete = counts[counts == t].index
+    panel = (cell[cell["user_id"].isin(complete)]
+             .pivot(index="user_id", columns="dow", values="value")
+             .sort_index(axis=1).sort_index())
+    k = len(panel)
+    mu = panel.mean(axis=0)
+    r = (panel - mu).to_numpy()
+    cov = r.T @ r / (k - 1)
+    inv = np.linalg.inv(cov)
+    d2 = np.einsum("ij,jk,ik->i", r, inv, r)
+    # chi2 quantile at 0.99 by bisection on the survival function
+    lo, hi = 0.0, 1000.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if st.chi2_sf(mid, t) > 0.01:
+            lo = mid
+        else:
+            hi = mid
+    cut = (lo + hi) / 2
+    out = pd.DataFrame({
+        "user_id": panel.index.astype("int64"),
+        "d2": np.round(d2, 6),
+        "cutoff": round(cut, 6),
+        "t_slots": np.int32(t),
+        "k_subjects": np.int64(k),
+        "flag_outlier": d2 > cut,
+    }).sort_values("user_id").reset_index(drop=True)
+    return out, dict(keys=["user_id"], rtol=1e-6, atol=1e-6)
+
+
 PY_ORACLES = {
+    "q64_un_panel": q64_un_panel,
     "q59_fgls_model": q59_fgls_model,
     "q31_simhash": q31_simhash,
     "q47_fisher_consistency": q47_fisher,
