@@ -2,9 +2,8 @@ package graft.operators
 
 import graft.engine.CacheTracker.TrackedCacheOps
 import graft.checks.{GroupVarianceCheck, Results}
-import graft.stats.{Distributions, VarComp}
+import graft.stats.{Distributions, KllSketchAgg, VarComp}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group-variance homogeneity check — %groupComparisons re-expressed.
@@ -16,9 +15,11 @@ import org.apache.spark.sql.functions._
   * PROC per comparison — k full scans; here the one-vs-rest expansion is an
   * `explode` (A10) so all comparisons ride one lineage.
   *
-  * BF = one-way ANOVA F on z = |r* − median(side)|. Medians are exact
-  * (`percentile(0.5)`), computed per (scope, cmp, side) on the exploded
-  * frame, then joined back broadcast.
+  * BF = one-way ANOVA F on z = |r* − median(side)|. Medians come from
+  * per-group mergeable KLL sketches (ONE un-exploded pass; exact until
+  * compaction — see `SketchK`): side=1 reads the group's own sketch,
+  * side=0 merges the complement's sketches on the k²-row reduced frame,
+  * and both join back broadcast into the single exploded pass.
   */
 object GroupVariance {
 
@@ -55,46 +56,74 @@ object GroupVariance {
         val wr = OlsPass.rowStats(base, check.outcome, d, check.scope, glsFits)
         (wr, estOf(subjStatsOf(wr)))
       }
-    val wGrp = Window.partitionBy(col("__key"), col(check.groupCol))
-    withResid
-      .withColumn("__grp", col(check.groupCol).cast("string"))
-      .withColumn("__n_grp", count(lit(1)).over(wGrp))
-      .withColumn("__rsum", sum("resid").over(wGrp))
+    // per-group count/residual-sum as a groupBy + broadcast join back, NOT
+    // a Window.partitionBy: the window plans a full shuffle-SORT of the
+    // row-proportional frame, while the agg reduces map-side to one row per
+    // (scope, group) — broadcastable at any input scale (group domains are
+    // small by construction). `base` filters null groups, so the equi-join
+    // keeps every surviving row.
+    val withGrp = withResid.withColumn("__grp", col(check.groupCol).cast("string"))
+    val grpStats = withGrp.groupBy(col("__key"), col("__grp"))
+      .agg(count(lit(1)).as("__n_grp"), sum("resid").as("__rsum"))
+    withGrp
+      .join(broadcast(grpStats), Seq("__key", "__grp"))
       .join(broadcast(est), Seq("__key"), "left")
       .withColumn("rscaled", VarComp.whitenExpr(col("__n_grp"), col("resid"), col("__rsum")))
       .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
   }
 
-  /** Medians are `percentile_approx` at this accuracy: rank error ≤ n/acc —
-    * exact for the golden fixtures, sketch-mergeable (no sort) at 10^12 rows
-    * (SURVEY M6 allows approx medians at this grain). */
-  val MedianAccuracy = 50000
+  /** KLL parameter for the per-group median sketches: exact while a
+    * group's residuals fit the sketch un-compacted (covers every golden
+    * fixture and the oracle scales), normalized rank error ≲ 0.03% once
+    * compaction starts (SURVEY M6 allows approx medians at this grain; the
+    * q49 py-oracle compares at rtol 5e-3). Chosen over percentile_approx
+    * because KLL partials MERGE: the "rest" side's median comes from
+    * combining the k−1 complement groups' sketches on the k²-row reduced
+    * frame instead of re-aggregating the k×n exploded frame. */
+  val SketchK = 16384
 
   /** Per-(scope, grp) Brown-Forsythe group-vs-rest results with Holm. */
   def tests(df: DataFrame, check: GroupVarianceCheck): DataFrame = {
-    // cache the narrow (scope, grp, rscaled) frame: it feeds THREE branches
-    // of this plan (comparison domain, per-side medians, z-scores) and
-    // Catalyst does not materialize common subplans — uncached, the whole
-    // OLS + whitening pipeline would execute 3×. The reference itself
+    // cache the narrow (scope, grp, rscaled) frame: it feeds TWO branches
+    // of this plan (the per-group sketch pass and the exploded z-score
+    // pass) and Catalyst does not materialize common subplans — uncached,
+    // the whole OLS + whitening pipeline would execute twice. The reference
     // materializes the vciry residual dataset before PROC GLM
     // (groupComparisons.sas:393-401); MEMORY_AND_DISK spills at scale.
     val r = scaledResiduals(df, check)
       .select(col("__key"), col("__grp"), col("rscaled")).trackedCache()
+    // ONE un-exploded pass: per-(scope, group) mergeable KLL sketch. This
+    // frame is tiny (one row per group) and REPLACES both the old distinct
+    // pass (the comparison domain is its key set) and the old exploded
+    // medians pass (side medians fall out of sketch merges below) —
+    // leaving a single k×n pass (sideStats) over the cached residuals.
+    val perGrp = r.groupBy(col("__key"), col("__grp"))
+      .agg(KllSketchAgg.sketch(col("rscaled"), SketchK).as("__sk"))
+      .trackedCache()
     // comparison domain: distinct (scope, group), kept distributed and
     // broadcast-joined (round-1 fix: no driver collect; the reference's
     // distinct-into list, groupComparisons.sas:243-248, is a driver array).
     // Scopes with a single group have no "rest" → dropped here
     // (groupComparisons.sas:264).
-    val cmpDom = r.select(col("__key"), col("__grp").as("cmp")).distinct()
-    val kPerKey = cmpDom.groupBy("__key").agg(count(lit(1)).as("__kgrp"))
-    val dom = cmpDom.join(kPerKey, "__key").filter(col("__kgrp") >= 2).drop("__kgrp")
+    val kPerKey = perGrp.groupBy("__key").agg(count(lit(1)).as("__kgrp"))
+    val dom = perGrp.select(col("__key"), col("__grp").as("cmp"))
+      .join(kPerKey, "__key").filter(col("__kgrp") >= 2).drop("__kgrp")
+    // side medians on the k²-row reduced frame: side=1 reads the group's
+    // own sketch, side=0 merges the k−1 complement sketches — no pass over
+    // the row-proportional frame at all
+    val medUdf = udf((sks: Seq[Array[Byte]]) =>
+      KllSketchAgg.quantiles(KllSketchAgg.merge(sks, SketchK), Array(0.5))(0))
+    val medians = perGrp.join(dom, Seq("__key"))
+      .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
+      .groupBy("__key", "cmp", "side")
+      .agg(medUdf(collect_list(col("__sk"))).as("med"))
     // one-vs-rest expansion: each row contributes to every comparison,
     // side=1 when it belongs to the compared group (A10 fused). The
-    // broadcast join IS the explode — k rows out per input row.
+    // broadcast join IS the explode — k rows out per input row — and this
+    // is now the ONLY pass over the exploded frame, running nothing but
+    // codegen'd sum/count aggregates.
     val exploded = r.join(broadcast(dom), Seq("__key"))
       .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
-    val medians = exploded.groupBy("__key", "cmp", "side")
-      .agg(percentile_approx(col("rscaled"), lit(0.5), lit(MedianAccuracy)).as("med"))
     val withZ = exploded.join(broadcast(medians), Seq("__key", "cmp", "side"))
       .withColumn("z", abs(col("rscaled") - col("med")))
     val sideStats = withZ.groupBy("__key", "cmp", "side")
