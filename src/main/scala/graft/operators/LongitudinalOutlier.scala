@@ -3,7 +3,6 @@ package graft.operators
 import graft.checks.{LongitudinalOutlierCheck, Results}
 import graft.stats.{Distributions, VarComp}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Within-entity time-series outlier check — %longitudinalPlot default
@@ -28,8 +27,12 @@ object LongitudinalOutlier {
     // all distributed: the second aggregation collapses 10^8+ subjects into
     // one row per scope BEFORE anything leaves the executors (round-1 fix:
     // no subject-proportional collect).
+    // '∅' stands in for a null subject id (the OlsPass.withKey convention)
+    // so the stats frame can be equi-JOINED back to rows — a null group key
+    // would silently drop its rows from the join (round-3 ADVICE class).
     def subjStatsOf(fr: DataFrame) =
-      fr.groupBy(col("__key"), col(check.idCol).cast("string").as("__subj"))
+      fr.groupBy(col("__key"),
+          coalesce(col(check.idCol).cast("string"), lit("∅")).as("__subj"))
         .agg(count(lit(1)).as("n"), sum("resid").as("s"), sum(col("resid") * col("resid")).as("ss"))
     // method=reml is the PROC MIXED default-parity path (exact profile
     // REML, guarded per-size-class collect); mom is the fully distributed
@@ -39,18 +42,25 @@ object LongitudinalOutlier {
       else VarComp.estimates(ss)
     val olsFits = rawFits.map { case (k, (_, f)) => k -> f }
     val withResid0 = OlsPass.rowStats(df, check.outcome, d, check.scope, olsFits)
-    val est0 = estOf(subjStatsOf(withResid0))
+    // the per-subject stats frame is REUSED: variance components read it
+    // here, and the whitening join below reads (n, s) per subject — cached
+    // so the OLS residual pass runs once, not once per consumer. Narrow
+    // (5 columns, one row per subject).
+    import graft.engine.CacheTracker.TrackedCacheOps
+    val subjStats0 = subjStatsOf(withResid0).trackedCache()
+    val est0 = estOf(subjStats0)
     // fgls: one more alternation — β re-estimated by GLS under est0, then
     // residuals and variance components recomputed under β_gls (the PROC
     // MIXED joint-estimation step, longitudinalPlot.sas:423-442)
-    val (fits, withResid, est) =
-      if (!check.fgls) (olsFits, withResid0, est0)
+    val (fits, withResid, subjStats, est) =
+      if (!check.fgls) (olsFits, withResid0, subjStats0, est0)
       else {
         val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
         val glsFits = graft.stats.Fgls.refit(keyed, check.outcome, d,
           check.idCol, rawFits.map { case (k, (r, _)) => k -> r }, est0)
         val wr = OlsPass.rowStats(df, check.outcome, d, check.scope, glsFits)
-        (glsFits, wr, estOf(subjStatsOf(wr)))
+        val ss = subjStatsOf(wr).trackedCache()
+        (glsFits, wr, ss, estOf(ss))
       }
     // per-scope t cutoff with the SAS low-df workaround mirrored exactly
     // (longitudinalPlot.sas:453-456); fits is already driver-side and
@@ -58,10 +68,17 @@ object LongitudinalOutlier {
     val cutoffs = fits.toSeq.map { case (k, f) =>
       k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
     }.toDF("__key", "cutoff")
-    val wSubj = Window.partitionBy(col("__key"), col(check.idCol))
+    // per-subject count/sum join back the cached stats frame instead of a
+    // Window.partitionBy: the window plans a full shuffle-SORT of the
+    // row-proportional frame; the join shuffles hash-only, and with AQE on
+    // the (one row per subject) stats side broadcasts whenever it is small
+    // enough — subject cardinality is unbounded in general, so no static
+    // broadcast hint here.
     withResid
-      .withColumn("__n_subj", count(lit(1)).over(wSubj))
-      .withColumn("__rsum", sum("resid").over(wSubj))
+      .withColumn("__subj", coalesce(col(check.idCol).cast("string"), lit("∅")))
+      .join(subjStats.select(col("__key"), col("__subj"),
+        col("n").as("__n_subj"), col("s").as("__rsum")), Seq("__key", "__subj"))
+      .drop("__subj")
       .join(broadcast(est), Seq("__key"), "left")
       .join(broadcast(cutoffs), Seq("__key"), "left")
       .withColumn("rscaled", VarComp.whitenExpr(col("__n_subj"), col("resid"), col("__rsum")))
