@@ -107,13 +107,13 @@ object GroupVariance {
     // (groupComparisons.sas:264).
     val kPerKey = perGrp.groupBy("__key").agg(count(lit(1)).as("__kgrp"))
     val dom = perGrp.select(col("__key"), col("__grp").as("cmp"))
-      .join(kPerKey, "__key").filter(col("__kgrp") >= 2).drop("__kgrp")
+      .join(broadcast(kPerKey), "__key").filter(col("__kgrp") >= 2).drop("__kgrp")
     // side medians on the k²-row reduced frame: side=1 reads the group's
     // own sketch, side=0 merges the k−1 complement sketches — no pass over
     // the row-proportional frame at all
     val medUdf = udf((sks: Seq[Array[Byte]]) =>
       KllSketchAgg.quantiles(KllSketchAgg.merge(sks, SketchK), Array(0.5))(0))
-    val medians = perGrp.join(dom, Seq("__key"))
+    val medians = perGrp.join(broadcast(dom), Seq("__key"))
       .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
       .groupBy("__key", "cmp", "side")
       .agg(medUdf(collect_list(col("__sk"))).as("med"))

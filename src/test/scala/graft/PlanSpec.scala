@@ -195,6 +195,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "cutoffs must broadcast-join")
   }
 
+  test("group-variance lineage plans no WindowExec and no sort of the residual frame") {
+    graft.engine.CacheTracker.scope {
+      val pages = graft.sources.Pages.generate(spark, 2000)
+      val t = graft.operators.GroupVariance.tests(pages,
+        graft.checks.GroupVarianceCheck("gv", "score", "host_bucket"))
+      val p = plan(t)
+      assert(!p.contains("Window"), s"no window over row frames:\n${p.take(1200)}")
+      // medians merge on the reduced frame, per-group stats join back
+      // broadcast, side stats hash-aggregate — nothing may sort rows
+      assert(!p.contains("SortExec") && !p.contains("SortMergeJoin"),
+        s"GV must not sort the row-proportional frame:\n${p.take(1200)}")
+    }
+  }
+
+  test("longitudinal whitening joins subject stats back, no WindowExec") {
+    graft.engine.CacheTracker.scope {
+      val pages = graft.sources.Pages.generate(spark, 2000)
+      val f = graft.operators.LongitudinalOutlier.flagged(pages,
+        graft.checks.LongitudinalOutlierCheck("lo", "score", "host_id"))
+      val p = plan(f)
+      assert(!p.contains("Window"), s"no window over row frames:\n${p.take(1200)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot scan→project paths") {
     // AQE wraps the plan lazily; force the final plan by executing
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf("sf0.001"))
