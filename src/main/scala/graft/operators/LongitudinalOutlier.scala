@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * config re-expressed (longitudinalPlot.sas:423-493).
   *
   * Spark shape (SURVEY.md §3.3): fixed-effect OLS residuals (OlsPass, one
-  * shuffle) → per-subject sufficient stats → driver MoM variance components
-  * (VarComp) → whitened marginal residuals per row (window sum per subject,
-  * one more shuffle on subject — co-partitioned with the windows) → flag
+  * shuffle) → per-subject sufficient stats (cached, reused) → driver MoM
+  * variance components (VarComp) → whitened marginal residuals per row
+  * (subject stats equi-joined back — hash shuffle, no sort) → flag
   * |r*| >= tinv(cutoff/100, dfe−1) with the df<1.12 workaround
   * (longitudinalPlot.sas:453-456) → violations = flagged rows; subjects
   * with any flag selected via semi-join (print=OUTLIERS, :486-493).
