@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * Audio decode is REAL too: `javax.sound.sampled` ships in the JDK and
   * reads WAV/AIFF/AU PCM payloads — `decodeAudio` extracts exact integer
   * sample sums (lossless for PCM, so hash-exact oracles work — the q57
-  * pattern). Only TRUE video codecs (mp4/webm) are absent from the JDK;
-  * `frameSampleStub` stays a declared stub for those, while animated-GIF
-  * frame sampling is real (`sampleFrames`).
+  * pattern). Video frame sampling is real for animated GIF
+  * (`sampleFrames`) and for AVI containers carrying uncompressed-DIB or
+  * MJPEG frames (`sampleVideoFrames` — RIFF walk per the public spec;
+  * MJPEG frames decode through the in-JDK JPEG codec). Only TRUE
+  * inter-frame codecs (mp4/webm) are absent from the JDK;
+  * `frameSampleStub` stays a declared stub for those.
   */
 object Multimodal {
 
@@ -223,10 +226,12 @@ object Multimodal {
         col("__f.nPx").as("n_px"))
   }
 
-  /** Frame-sample stub for TRUE video codecs (mp4/webm — not in the JDK):
-    * every `stride`-th 16-byte block becomes one "frame" digest —
-    * demonstrates the explode-to-frames shape (one row per sampled frame).
-    * Animated GIF frame sampling is REAL — see `sampleFrames`. */
+  /** Frame-sample stub for TRUE inter-frame video codecs (mp4/webm — not
+    * in the JDK): every `stride`-th 16-byte block becomes one "frame"
+    * digest — demonstrates the explode-to-frames shape (one row per
+    * sampled frame). Animated-GIF frame sampling is REAL
+    * (`sampleFrames`), as is AVI with DIB/MJPEG frames
+    * (`sampleVideoFrames`). */
   def frameSampleStub(df: DataFrame, keyCol: String, binCol: String, stride: Int = 4): DataFrame =
     df.select(col(keyCol).cast("string").as("key"), col(binCol).as("payload"))
       .withColumn("n_frames", greatest(floor(length(col("payload")) / (16 * stride)), lit(1)).cast("int"))
@@ -445,4 +450,260 @@ object Multimodal {
   /** Column form of `syntheticWav` for driver-contract queries. */
   def syntheticWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((seed: Long, rate: Int, ch: Int, n: Int) => syntheticWav(seed, rate, ch, n))
+
+  // ───────────────────────── video (AVI) ─────────────────────────
+
+  /** One sampled video frame's features. `codec` is "dib" (uncompressed
+    * 24-bit bottom-up DIB, decoded by the container parser itself) or
+    * "mjpeg" (JPEG chunk decoded by the JDK's ImageIO JPEG codec). */
+  final case class VideoFrameFeatures(
+      frameIdx: Int,
+      decoded: Boolean,
+      codec: String,
+      width: Int,
+      height: Int,
+      sumR: Long,
+      sumG: Long,
+      sumB: Long,
+      nPx: Long)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Decode every `stride`-th video frame of a RIFF/AVI payload — REAL
+    * video frame sampling for the two codecs decodable without native
+    * libraries: uncompressed 24-bit DIB (`##db` chunks; raw bottom-up BGR
+    * rows padded to 4 bytes, read straight off the container per the
+    * public AVI/BITMAPINFOHEADER spec) and MJPEG (`##dc` chunks, each an
+    * independent JPEG decoded by the in-JDK ImageIO codec). The container
+    * walk honors RIFF word alignment (odd-sized chunks carry a pad byte
+    * outside their declared size). Top-down DIBs (negative biHeight),
+    * other bit depths, and true inter-frame codecs (mp4/webm) yield
+    * FLAGGED rows — `frameSampleStub` remains the declared stub for those.
+    * Returns one row per sampled frame; a payload that is not an AVI at
+    * all yields one flagged row, mirroring `frameFeatures`. */
+  private[operators] def videoFrameFeatures(bytes: Array[Byte],
+      stride: Int): Seq[VideoFrameFeatures] = {
+    val failed = Seq(VideoFrameFeatures(0, decoded = false, "none", 0, 0, 0L, 0L, 0L, 0L))
+    if (bytes == null || bytes.length < 12 ||
+        fourCC(bytes, 0) != "RIFF" || fourCC(bytes, 8) != "AVI ") return failed
+    try {
+      // first video stream's BITMAPINFOHEADER (from hdrl → strl → strf)
+      var vidW = 0; var vidH = 0; var vidBits = 0; var vidComp = 0
+      var haveFmt = false
+      // (chunk fourCC, data offset, data size) of each movi frame chunk
+      val frames = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+
+      def walkStrl(off: Int, end: Int): Unit = {
+        var p = off
+        var isVids = false
+        while (p + 8 <= end) {
+          val id = fourCC(bytes, p); val sz = le32(bytes, p + 4)
+          if (id == "strh" && sz >= 4)
+            isVids = fourCC(bytes, p + 8) == "vids"
+          else if (id == "strf" && isVids && !haveFmt && sz >= 18) {
+            vidW = le32(bytes, p + 12)      // biWidth  (data + 4)
+            vidH = le32(bytes, p + 16)      // biHeight (data + 8)
+            vidBits = le16(bytes, p + 22)   // biBitCount (data + 14)
+            vidComp = le32(bytes, p + 24)   // biCompression (data + 16)
+            haveFmt = true
+          }
+          p += 8 + sz + (sz & 1)
+        }
+      }
+
+      def walk(off: Int, end: Int): Unit = {
+        var p = off
+        while (p + 8 <= end) {
+          val id = fourCC(bytes, p); val sz = le32(bytes, p + 4)
+          val dataEnd = math.min(end, p + 8 + sz)
+          if (id == "LIST" && sz >= 4) {
+            fourCC(bytes, p + 8) match {
+              case "strl" => walkStrl(p + 12, dataEnd)
+              case _ => walk(p + 12, dataEnd) // hdrl, movi, odml, ...
+            }
+          } else if (id.substring(2) == "db" || id.substring(2) == "dc") {
+            if (id(0).isDigit && id(1).isDigit)
+              frames += ((id, p + 8, sz))
+          }
+          p += 8 + sz + (sz & 1)
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + le32(bytes, 4)))
+
+      if (frames.isEmpty) return failed
+
+      def decodeOne(i: Int, id: String, off: Int, sz: Int,
+          flaggedRow: VideoFrameFeatures): VideoFrameFeatures =
+        if (id.endsWith("db")) {
+          // uncompressed DIB: bottom-up 24-bit BGR, rows padded to 4 bytes
+          val rowBytes = ((vidW * 3 + 3) / 4) * 4
+          if (!haveFmt || vidComp != 0 || vidBits != 24 || vidW <= 0 || vidH <= 0 ||
+              sz < rowBytes * vidH || off + rowBytes * vidH > bytes.length) flaggedRow
+          else {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < vidH) {
+              val rowOff = off + (vidH - 1 - y) * rowBytes
+              var x = 0
+              while (x < vidW) {
+                sb += bytes(rowOff + x * 3) & 0xff
+                sg += bytes(rowOff + x * 3 + 1) & 0xff
+                sr += bytes(rowOff + x * 3 + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrameFeatures(i, decoded = true, "dib", vidW, vidH,
+              sr, sg, sb, vidW.toLong * vidH)
+          }
+        } else { // ##dc — per AVI convention an independently-coded frame; try JPEG
+          val img =
+            if (off + sz > bytes.length) null
+            else readImage(java.util.Arrays.copyOfRange(bytes, off, off + sz))
+          if (img == null) flaggedRow
+          else {
+            val (sr, sg, sb, _) = rgbSums(img)
+            VideoFrameFeatures(i, decoded = true, "mjpeg", img.getWidth, img.getHeight,
+              sr, sg, sb, img.getWidth.toLong * img.getHeight)
+          }
+        }
+
+      frames.indices.by(math.max(1, stride)).map { i =>
+        val (id, off, sz) = frames(i)
+        val flaggedRow = VideoFrameFeatures(i, decoded = false, "none", 0, 0, 0L, 0L, 0L, 0L)
+        try decodeOne(i, id, off, sz, flaggedRow)
+        catch { case _: Exception => flaggedRow } // truncated chunk etc.
+      }
+    } catch { case _: Exception => failed }
+  }
+
+  /** Video frame sampling as a DataFrame op: one row per sampled frame,
+    * per-row on the executors, shuffle-free — the `sampleFrames` plan
+    * shape over AVI payloads. */
+  def sampleVideoFrames(df: DataFrame, keyCol: String, binCol: String,
+      stride: Int = 1): DataFrame = {
+    val framesUdf = udf((b: Array[Byte]) => videoFrameFeatures(b, stride))
+    df.select(col(keyCol).cast("string").as("key"), col(binCol).as("payload"))
+      .withColumn("__f", explode(framesUdf(col("payload"))))
+      .select(col("key"),
+        col("__f.frameIdx").as("frame_idx"),
+        col("__f.decoded").as("decoded"),
+        col("__f.codec").as("codec"),
+        col("__f.width").as("width"),
+        col("__f.height").as("height"),
+        col("__f.sumR").as("sum_r"),
+        col("__f.sumG").as("sum_g"),
+        col("__f.sumB").as("sum_b"),
+        col("__f.nPx").as("n_px"))
+  }
+
+  /** Deterministic AVI generator (hand-rolled RIFF per the public spec,
+    * like `syntheticWav`): `nFrames` frames whose pixel (f, x, y) is
+    * r=(seed·7+f·41+x·13+y·31)%256, g=(seed·11+f·43+x·3+y·17)%256,
+    * b=(seed·5+f·47+x·19+y·23)%256 (the q57/q61 pattern + a frame term).
+    * `codec` = "dib" writes lossless uncompressed 24-bit frames (closed-
+    * form oracle-exact); "mjpeg" writes each frame as an ImageIO-encoded
+    * JPEG `##dc` chunk (lossy — round-trip asserted with tolerance in
+    * ScalaTest, exercising the real JDK JPEG codec path). */
+  def syntheticAvi(seed: Long, w: Int, h: Int, nFrames: Int,
+      codec: String = "dib"): Array[Byte] = {
+    def px(f: Int, x: Int, y: Int): (Int, Int, Int) = (
+      ((seed * 7 + f * 41 + x * 13 + y * 31) % 256).toInt,
+      ((seed * 11 + f * 43 + x * 3 + y * 17) % 256).toInt,
+      ((seed * 5 + f * 47 + x * 19 + y * 23) % 256).toInt)
+    val frameChunks: Seq[(String, Array[Byte])] = (0 until nFrames).map { f =>
+      if (codec == "dib") {
+        val rowBytes = ((w * 3 + 3) / 4) * 4
+        val data = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = px(f, x, y)
+            val off = (h - 1 - y) * rowBytes + x * 3
+            data(off) = b.toByte; data(off + 1) = g.toByte; data(off + 2) = r.toByte
+            x += 1
+          }
+          y += 1
+        }
+        ("00db", data)
+      } else {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = px(f, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        ImageIO.write(img, "jpg", out)
+        ("00dc", out.toByteArray)
+      }
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val padded = data.length + (data.length & 1)
+      val bb = java.nio.ByteBuffer.allocate(8 + padded)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")); bb.putInt(data.length); bb.put(data)
+      bb.array()
+    }
+    def list(typ: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val size = 4 + bodies.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(8 + size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")); bb.putInt(size)
+      bb.put(typ.getBytes("US-ASCII")); bodies.foreach(bb.put)
+      bb.array()
+    }
+    val frameBytes = frameChunks.map(_._2.length).max
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(nFrames); bb.putInt(0); bb.putInt(1); bb.putInt(frameBytes)
+      bb.putInt(w); bb.putInt(h) // + 4 reserved ints left zero
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII"))
+      bb.put((if (codec == "dib") "DIB " else "MJPG").getBytes("US-ASCII"))
+      bb.putInt(0); bb.putInt(0); bb.putInt(0)      // flags, prio/lang, initial
+      bb.putInt(1); bb.putInt(25)                   // scale, rate
+      bb.putInt(0); bb.putInt(nFrames)              // start, length
+      bb.putInt(frameBytes); bb.putInt(-1); bb.putInt(0) // bufSize, quality, sampleSize
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40); bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24)
+      bb.putInt(0); bb.putInt(frameBytes) // BI_RGB; size image
+      bb.array()
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih),
+      list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", frameChunks.map { case (id, d) => chunk(id, d) })
+    val riffSize = 4 + hdrl.length + movi.length
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(riffSize)
+    bb.put("AVI ".getBytes("US-ASCII")); bb.put(hdrl); bb.put(movi)
+    bb.array()
+  }
+
+  /** Column form of `syntheticAvi` for driver-contract queries. */
+  def syntheticAviUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((seed: Long, w: Int, h: Int, n: Int) => syntheticAvi(seed, w, h, n))
 }

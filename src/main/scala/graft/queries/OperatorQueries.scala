@@ -162,6 +162,44 @@ object OperatorQueries {
                CROSS JOIN ys
              GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // REAL video frame sampling (RIFF/AVI container walk + uncompressed
+    // 24-bit DIB frames read straight off the container): deterministic
+    // AVI payloads generated per row, one row per frame with exact
+    // channel sums — closed-form SQL oracle (q61 pattern with the AVI
+    // generator's three per-channel formulas). MJPEG chunks exercise the
+    // in-JDK JPEG codec and are tolerance-tested in MultimodalSpec; true
+    // inter-frame codecs (mp4/webm) remain the declared stub.
+    QuerySpec("q65_avi_frames",
+      (s, dir) => {
+        val docs = read(s, dir, "documents").filter(col("doc_id") < 8)
+          .withColumn("__w", (lit(4) + col("doc_id") % 3).cast("int"))
+          .withColumn("__n", (lit(2) + col("doc_id") % 3).cast("int"))
+          .withColumn("payload",
+            Multimodal.syntheticAviUdf(col("doc_id"), col("__w"), lit(6), col("__n")))
+        Multimodal.sampleVideoFrames(docs, "doc_id", "payload")
+          .select(col("key").cast("long").as("doc_id"), col("frame_idx"),
+            col("decoded"), col("codec"), col("width"), col("height"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("n_px"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH xs AS (SELECT x FROM generate_series(0, 6) t(x)),
+               ys AS (SELECT y FROM generate_series(0, 5) t(y)),
+               fs AS (SELECT f FROM generate_series(0, 4) t(f)),
+               ids AS (SELECT doc_id FROM documents WHERE doc_id < 8)
+             SELECT i.doc_id, CAST(fs.f AS INT) AS frame_idx, true AS decoded,
+               'dib' AS codec,
+               CAST(4 + i.doc_id % 3 AS INT) AS width,
+               CAST(6 AS INT) AS height,
+               CAST(sum((i.doc_id * 7 + fs.f * 41 + xs.x * 13 + ys.y * 31) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((i.doc_id * 11 + fs.f * 43 + xs.x * 3 + ys.y * 17) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((i.doc_id * 5 + fs.f * 47 + xs.x * 19 + ys.y * 23) % 256) AS BIGINT) AS sum_b,
+               CAST(count(*) AS BIGINT) AS n_px
+             FROM ids i
+               JOIN fs ON fs.f < 2 + i.doc_id % 3
+               JOIN xs ON xs.x < 4 + i.doc_id % 3
+               CROSS JOIN ys
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // M4 type=UN surface: unstructured within-subject covariance on the
     // day-of-week panel of the events table — complete-case pooled
     // residual covariance, per-subject Mahalanobis d² vs the χ²_T cutoff

@@ -185,4 +185,74 @@ class MultimodalSpec extends SparkSpec {
     assert(!rows("empty").getAs[Boolean]("decoded"))
     assert(rows("bad").isNullAt(rows("bad").fieldIndex("duration_sec")))
   }
+
+  // ─────────── AVI video frame sampling ───────────
+
+  /** The syntheticAvi generator's closed-form channel values. */
+  private def aviPx(seed: Long, f: Int, x: Int, y: Int): (Long, Long, Long) = (
+    (seed * 7 + f * 41 + x * 13 + y * 31) % 256,
+    (seed * 11 + f * 43 + x * 3 + y * 17) % 256,
+    (seed * 5 + f * 47 + x * 19 + y * 23) % 256)
+
+  test("AVI uncompressed-DIB frames round-trip to closed-form exact sums") {
+    val (seed, w, h, n) = (3L, 5, 6, 3) // w=5 exercises the 4-byte row pad
+    val df = Seq(("k", Multimodal.syntheticAvi(seed, w, h, n))).toDF("id", "payload")
+    val rows = Multimodal.sampleVideoFrames(df, "id", "payload")
+      .orderBy("frame_idx").collect()
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getAs[Boolean]("decoded") && r.getAs[String]("codec") == "dib")
+      assert(r.getAs[Int]("frame_idx") == f)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val want = (for (x <- 0 until w; y <- 0 until h) yield aviPx(seed, f, x, y))
+      assert(r.getAs[Long]("sum_r") == want.map(_._1).sum)
+      assert(r.getAs[Long]("sum_g") == want.map(_._2).sum)
+      assert(r.getAs[Long]("sum_b") == want.map(_._3).sum)
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+    }
+  }
+
+  test("AVI frame stride sampling keeps original frame indices") {
+    val df = Seq(("k", Multimodal.syntheticAvi(9, 4, 4, 5))).toDF("id", "payload")
+    val idxs = Multimodal.sampleVideoFrames(df, "id", "payload", stride = 2)
+      .orderBy("frame_idx").collect().map(_.getAs[Int]("frame_idx")).toSeq
+    assert(idxs == Seq(0, 2, 4))
+  }
+
+  test("AVI MJPEG frames decode through the JDK JPEG codec (lossy tolerance)") {
+    val (seed, w, h, n) = (7L, 16, 16, 2)
+    val df = Seq(("k", Multimodal.syntheticAvi(seed, w, h, n, codec = "mjpeg")))
+      .toDF("id", "payload")
+    val rows = Multimodal.sampleVideoFrames(df, "id", "payload")
+      .orderBy("frame_idx").collect()
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getAs[Boolean]("decoded") && r.getAs[String]("codec") == "mjpeg")
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+      val want = (for (x <- 0 until w; y <- 0 until h) yield aviPx(seed, f, x, y))
+      val nPx = (w * h).toDouble
+      // JPEG is lossy but mean-preserving to within a few counts
+      assert(math.abs(r.getAs[Long]("sum_r") / nPx - want.map(_._1).sum / nPx) < 24)
+      assert(math.abs(r.getAs[Long]("sum_g") / nPx - want.map(_._2).sum / nPx) < 24)
+      assert(math.abs(r.getAs[Long]("sum_b") / nPx - want.map(_._3).sum / nPx) < 24)
+    }
+  }
+
+  test("non-AVI and truncated AVI payloads are flagged, never throw") {
+    val good = Multimodal.syntheticAvi(1, 4, 4, 2)
+    val junk = Array.tabulate[Byte](64)(i => (i * 53).toByte)
+    val truncated = good.take(good.length - 20) // cuts into the last frame
+    val df = Seq(("ok", good), ("bad", junk), ("cut", truncated))
+      .toDF("id", "payload")
+    val byKey = Multimodal.sampleVideoFrames(df, "id", "payload")
+      .collect().groupBy(_.getAs[String]("key"))
+    assert(byKey("ok").forall(_.getAs[Boolean]("decoded")))
+    assert(byKey("bad").forall(!_.getAs[Boolean]("decoded")))
+    // the intact leading frame still decodes; the cut frame is flagged/absent
+    assert(byKey("cut").exists(r =>
+      r.getAs[Int]("frame_idx") == 0 && r.getAs[Boolean]("decoded")))
+    assert(byKey("cut").forall(r =>
+      r.getAs[Int]("frame_idx") == 0 || !r.getAs[Boolean]("decoded")))
+  }
 }
