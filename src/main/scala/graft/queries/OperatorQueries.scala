@@ -331,6 +331,90 @@ object OperatorQueries {
       },
       None),
 
+    // M1-M3 Cook's-D surface of the SAME RegressionOutlier operator as
+    // q48, restricted to the SQL-expressible flag family: on a simple
+    // design (intercept + one continuous) cookd = e²h/(2s²(1−h)²) and the
+    // cutoff is cookCutoff/n (BivariatePlot.sas:481-484) — closed-form in
+    // DuckDB, so the operator's flagging path gets a driver-visible hash
+    // row (the tinv-based rstudent family stays py-oracled via q48)
+    QuerySpec("q66_cookd_outlier",
+      (s, dir) => RegressionOutlier.flagged(
+        read(s, dir, "lineitem"),
+        RegressionOutlierCheck("cd", "l_extendedprice", "l_orderkey",
+          contCovariates = Seq("l_quantity"), scope = Seq("l_returnflag"),
+          cutoffPct = 99.9, cookCutoff = Some(4.0)))
+        .groupBy(col("__key"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flag_cookd"), 1L).otherwise(0L)).as("n_cookd"),
+          round(max(col("cookd")), 6).as("max_cookd"),
+          round(first(col("cookd_cutoff")), 9).as("cookd_cutoff"))
+        .select(col("__key").as("g"), col("n"), col("n_cookd"),
+          col("max_cookd"), col("cookd_cutoff"))
+        .orderBy("g"),
+      Some("""WITH s AS (SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n,
+                 avg(l_quantity) OVER (PARTITION BY l_returnflag) AS xbar,
+                 avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS ybar,
+                 sum(l_quantity * l_quantity) OVER (PARTITION BY l_returnflag) AS sx2,
+                 sum(l_quantity * l_extendedprice) OVER (PARTITION BY l_returnflag) AS sxy0,
+                 sum(l_extendedprice * l_extendedprice) OVER (PARTITION BY l_returnflag) AS sy2
+               FROM lineitem),
+             t AS (SELECT g, x, y, n, xbar, ybar,
+                 sx2 - n * xbar * xbar AS sxx,
+                 sxy0 - n * xbar * ybar AS sxy,
+                 sy2 - n * ybar * ybar AS syy FROM s),
+             u AS (SELECT g, n,
+                 y - ybar - (sxy / sxx) * (x - xbar) AS e,
+                 1.0 / n + (x - xbar) * (x - xbar) / sxx AS h,
+                 (syy - (sxy / sxx) * sxy) / (n - 2) AS s2 FROM t),
+             v AS (SELECT g, n,
+                 e * e * h / (2 * s2 * (1.0 - h) * (1.0 - h)) AS cookd FROM u)
+             SELECT g, count(*) AS n,
+               CAST(sum(CASE WHEN cookd > 4.0 / n THEN 1 ELSE 0 END) AS BIGINT) AS n_cookd,
+               round(max(cookd), 6) AS max_cookd,
+               round(4.0 / max(n), 9) AS cookd_cutoff
+             FROM v GROUP BY g ORDER BY g""")),
+
+    // M4 MoM path: ANOVA method-of-moments variance components (the fully
+    // distributed estimator behind LongitudinalOutlier/FGLS) — pure
+    // closed-form arithmetic over per-subject sufficient stats, so unlike
+    // the REML optimizer (q56) it IS SQL-expressible and gets a
+    // driver-visible DuckDB hash row
+    QuerySpec("q68_mom_varcomp",
+      (s, dir) => {
+        // + user_id*10 plants a deterministic between-subject component so
+        // sigma_b2 > 0 and the MoM arithmetic (not just the max(0,·)
+        // clamp) is what the oracle checks
+        val ev = read(s, dir, "events")
+          .withColumn("v", col("value") + col("user_id") * 10.0)
+          .withColumn("__key", lit("all"))
+          .groupBy(col("__key"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum("v").as("s"),
+            sum(col("v") * col("v")).as("ss"))
+        graft.stats.VarComp.estimates(ev)
+          .select(col("__key").as("scope"),
+            round(col("sigma_b2"), 6).as("sigma_b2"),
+            round(col("sigma_e2"), 6).as("sigma_e2"),
+            col("k_subjects"), col("n_rows"))
+      },
+      Some("""WITH ev AS (SELECT user_id, value + user_id * 10.0 AS v FROM events),
+             subj AS (SELECT user_id, count(*) AS n, sum(v) AS s,
+                 sum(v * v) AS ss FROM ev GROUP BY 1),
+             a AS (SELECT sum(n) AS n, count(*) AS k, sum(s) AS gs,
+                 sum(ss - s * s / n) AS ssw,
+                 sum(n * (s / n) * (s / n)) AS sgm2,
+                 sum(n * n) AS sn2 FROM subj),
+             b AS (SELECT n, k,
+                 ssw / (n - k) AS msw,
+                 (sgm2 - gs * gs / n) / (k - 1) AS msb,
+                 (n - sn2 * 1.0 / n) / (k - 1) AS n0 FROM a)
+             SELECT 'all' AS scope,
+               round(greatest((msb - msw) / n0, 0.0), 6) AS sigma_b2,
+               round(msw, 6) AS sigma_e2,
+               CAST(k AS BIGINT) AS k_subjects,
+               CAST(n AS BIGINT) AS n_rows
+             FROM b""")),
+
     // Exact-dup drop-list operator (keep-min-id policy)
     QuerySpec("q53_dedup_droplist",
       (s, dir) => {
