@@ -161,7 +161,16 @@ final case class LongitudinalOutlierCheck(
       * variance-component-weighted normal equations (PROC MIXED fits them
       * jointly; this closes most of that gap on unbalanced data at the
       * cost of one extra distributed pass). */
-    fgls: Boolean = false) extends Check
+    fgls: Boolean = false,
+    /** Denominator-df method for the flag cutoff — the reference passes
+      * ddfm = &DDFM straight into PROC MIXED (longitudinalPlot.sas:433)
+      * and cutoffs use the model's denominator df (:453-456).
+      * "residual": df = N − rank(X) (PROC MIXED ddfm=residual, the
+      * engine's default parity config). "betwithin": the within-subject
+      * portion of PROC MIXED ddfm=bw — df = (N − k) − p_w, where k is the
+      * subject count and p_w counts fixed-effect design columns that vary
+      * within at least one subject. */
+    ddfm: String = "residual") extends Check
 
 /** Distribution drift across time windows (north rule): equal-width
   * histogram of `column` per `interval` window of `dateCol`; chi-square +

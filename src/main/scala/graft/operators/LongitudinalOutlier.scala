@@ -65,9 +65,40 @@ object LongitudinalOutlier {
     // per-scope t cutoff with the SAS low-df workaround mirrored exactly
     // (longitudinalPlot.sas:453-456); fits is already driver-side and
     // MaxGroups-guarded, so this frame is one tiny row per scope.
-    val cutoffs = fits.toSeq.map { case (k, f) =>
-      k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
-    }.toDF("__key", "cutoff")
+    val cutoffs =
+      if (check.ddfm.equalsIgnoreCase("betwithin")) {
+        // ddfm=bw (longitudinalPlot.sas:433): partition the residual df
+        // and flag against the WITHIN-subject portion (N − k) − p_w.
+        // p_w = design columns varying within ≥1 subject, found by one
+        // narrow two-stage agg (per-subject feature ranges → per-scope
+        // any-nonzero count) — nothing subject-proportional leaves the
+        // executors, and tinv runs on the one-row-per-scope reduced frame.
+        val feats = OlsPass.featureCols(d).drop(1) // non-intercept columns
+        val baseDf =
+          if (feats.isEmpty)
+            est.select(col("__key"),
+              (col("n_rows") - col("k_subjects")).cast("double").as("__df"))
+          else {
+            val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
+            val subjCol = coalesce(col(check.idCol).cast("string"), lit("∅"))
+            val rangeExprs = feats.zipWithIndex.map {
+              case (f, i) => (max(f) - min(f)).as(s"__r_$i") }
+            val ranges = keyed.groupBy(col("__key"), subjCol.as("__subj"))
+              .agg(rangeExprs.head, rangeExprs.tail: _*)
+            val pw = ranges.groupBy(col("__key")).agg(
+              feats.indices.map(i =>
+                when(max(col(s"__r_$i")) > lit(0.0), 1).otherwise(0))
+                .reduce(_ + _).as("__pw"))
+            est.join(pw, Seq("__key"), "left").select(col("__key"),
+              (col("n_rows") - col("k_subjects") - coalesce(col("__pw"), lit(0)))
+                .cast("double").as("__df"))
+          }
+        val tinvUdf = udf((dfv: Double) =>
+          Distributions.tInv(check.cutoffPct / 100.0, dfv - 1, sasLowDfWorkaround = true))
+        baseDf.select(col("__key"), tinvUdf(col("__df")).as("cutoff"))
+      } else fits.toSeq.map { case (k, f) =>
+        k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
+      }.toDF("__key", "cutoff")
     // per-subject count/sum join back the cached stats frame instead of a
     // Window.partitionBy: the window plans a full shuffle-SORT of the
     // row-proportional frame; the join shuffles hash-only, and with AQE on

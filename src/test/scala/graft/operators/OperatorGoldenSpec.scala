@@ -416,6 +416,34 @@ class OperatorGoldenSpec extends SparkSpec {
       "print=OUTLIERS semi-join returns all rows of the flagged subject")
   }
 
+  test("LongitudinalOutlier ddfm=betwithin partitions the cutoff df") {
+    // 4 subjects × 6 rows; x varies within subjects, z is between-only →
+    // p_w = 1 of 2 design columns. Expected dfs computed independently:
+    //   betwithin: (N − k) − p_w = (24 − 4) − 1 = 19
+    //   residual:  N − rank(X)   =  24 − 3      = 21
+    //   betwithin, intercept-only model: N − k  = 20
+    // (cutoff = tinv(pct, df − 1), the :453-456 workaround form)
+    val rows = for (s <- 1 to 4; t <- 1 to 6) yield
+      (s.toLong, t.toDouble, s * 10.0, 5.0 + 0.5 * t + s * 2.0)
+    val df = rows.toDF("subj", "x", "z", "y")
+    def cutoffOf(check: LongitudinalOutlierCheck): Double = {
+      val c = LongitudinalOutlier.flagged(df, check)
+        .select("cutoff").distinct().as[Double].collect()
+      assert(c.length == 1); c.head
+    }
+    val bw = cutoffOf(LongitudinalOutlierCheck("lo", "y", "subj",
+      contCovariates = Seq("x", "z"), cutoffPct = 95, ddfm = "betwithin"))
+    assert(math.abs(bw - Distributions.tInv(0.95, 18, sasLowDfWorkaround = true)) < 1e-12)
+    val res = cutoffOf(LongitudinalOutlierCheck("lo", "y", "subj",
+      contCovariates = Seq("x", "z"), cutoffPct = 95))
+    assert(math.abs(res - Distributions.tInv(0.95, 20, sasLowDfWorkaround = true)) < 1e-12)
+    val bw0 = cutoffOf(LongitudinalOutlierCheck("lo", "y", "subj",
+      cutoffPct = 95, ddfm = "betwithin"))
+    assert(math.abs(bw0 - Distributions.tInv(0.95, 19, sasLowDfWorkaround = true)) < 1e-12)
+    // betwithin's narrower within df ⇒ strictly larger t cutoff
+    assert(bw > res)
+  }
+
   // ---- drift ---------------------------------------------------------------
 
   test("Drift flags the planted shifted window") {
