@@ -219,6 +219,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ddfm=betwithin p_w detection is a distributed two-stage agg, no window") {
+    graft.engine.CacheTracker.scope {
+      val pages = graft.sources.Pages.generate(spark, 2000)
+      val f = graft.operators.LongitudinalOutlier.flagged(pages,
+        graft.checks.LongitudinalOutlierCheck("lo", "score", "host_id",
+          contCovariates = Seq("n_chars"), ddfm = "betwithin"))
+      val p = plan(f)
+      assert(!p.contains("Window"), s"no window in the betwithin lineage:\n${p.take(1200)}")
+      // the per-subject range agg must partial-aggregate map-side (the
+      // shuffle carries per-subject partials, never raw rows)
+      assert(p.contains("HashAggregate"), "p_w detection rides hash aggregation")
+    }
+  }
+
   test("whole-stage codegen covers the hot scan→project paths") {
     // AQE wraps the plan lazily; force the final plan by executing
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf("sf0.001"))
