@@ -170,7 +170,14 @@ final case class LongitudinalOutlierCheck(
       * portion of PROC MIXED ddfm=bw — df = (N − k) − p_w, where k is the
       * subject count and p_w counts fixed-effect design columns that vary
       * within at least one subject. */
-    ddfm: String = "residual") extends Check
+    ddfm: String = "residual",
+    /** Random-effects design beyond the intercept — the reference's
+      * `random=` / `type=UN` surface (longitudinalPlot.sas:49-51,
+      * 128-129): `Some(t)` fits random INTERCEPT + t per subject with
+      * unstructured 2×2 G by the Swamy-type two-stage MoM
+      * (stats.RandomSlope); flags use the marginal studentized residual
+      * r/√V_jj. None (default) keeps the random-intercept model. */
+    slopeVar: Option[String] = None) extends Check
 
 /** Distribution drift across time windows (north rule): equal-width
   * histogram of `column` per `interval` window of `dateCol`; chi-square +

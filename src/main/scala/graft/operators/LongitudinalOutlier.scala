@@ -42,30 +42,12 @@ object LongitudinalOutlier {
       else VarComp.estimates(ss)
     val olsFits = rawFits.map { case (k, (_, f)) => k -> f }
     val withResid0 = OlsPass.rowStats(df, check.outcome, d, check.scope, olsFits)
-    // the per-subject stats frame is REUSED: variance components read it
-    // here, and the whitening join below reads (n, s) per subject — cached
-    // so the OLS residual pass runs once, not once per consumer. Narrow
-    // (5 columns, one row per subject).
     import graft.engine.CacheTracker.TrackedCacheOps
-    val subjStats0 = subjStatsOf(withResid0).trackedCache()
-    val est0 = estOf(subjStats0)
-    // fgls: one more alternation — β re-estimated by GLS under est0, then
-    // residuals and variance components recomputed under β_gls (the PROC
-    // MIXED joint-estimation step, longitudinalPlot.sas:423-442)
-    val (fits, withResid, subjStats, est) =
-      if (!check.fgls) (olsFits, withResid0, subjStats0, est0)
-      else {
-        val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
-        val glsFits = graft.stats.Fgls.refit(keyed, check.outcome, d,
-          check.idCol, rawFits.map { case (k, (r, _)) => k -> r }, est0)
-        val wr = OlsPass.rowStats(df, check.outcome, d, check.scope, glsFits)
-        val ss = subjStatsOf(wr).trackedCache()
-        (glsFits, wr, ss, estOf(ss))
-      }
     // per-scope t cutoff with the SAS low-df workaround mirrored exactly
     // (longitudinalPlot.sas:453-456); fits is already driver-side and
     // MaxGroups-guarded, so this frame is one tiny row per scope.
-    val cutoffs =
+    // estNK is by-name: the residual branch never touches it.
+    def cutoffsFor(estNK: => DataFrame, fits: Map[String, graft.stats.Ols.Fit]): DataFrame =
       if (check.ddfm.equalsIgnoreCase("betwithin")) {
         // ddfm=bw (longitudinalPlot.sas:433): partition the residual df
         // and flag against the WITHIN-subject portion (N − k) − p_w.
@@ -76,7 +58,7 @@ object LongitudinalOutlier {
         val feats = OlsPass.featureCols(d).drop(1) // non-intercept columns
         val baseDf =
           if (feats.isEmpty)
-            est.select(col("__key"),
+            estNK.select(col("__key"),
               (col("n_rows") - col("k_subjects")).cast("double").as("__df"))
           else {
             val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
@@ -89,7 +71,7 @@ object LongitudinalOutlier {
               feats.indices.map(i =>
                 when(max(col(s"__r_$i")) > lit(0.0), 1).otherwise(0))
                 .reduce(_ + _).as("__pw"))
-            est.join(pw, Seq("__key"), "left").select(col("__key"),
+            estNK.join(pw, Seq("__key"), "left").select(col("__key"),
               (col("n_rows") - col("k_subjects") - coalesce(col("__pw"), lit(0)))
                 .cast("double").as("__df"))
           }
@@ -99,24 +81,72 @@ object LongitudinalOutlier {
       } else fits.toSeq.map { case (k, f) =>
         k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
       }.toDF("__key", "cutoff")
-    // per-subject count/sum join back the cached stats frame instead of a
-    // Window.partitionBy: the window plans a full shuffle-SORT of the
-    // row-proportional frame; the join shuffles hash-only, and with AQE on
-    // the (one row per subject) stats side broadcasts whenever it is small
-    // enough — subject cardinality is unbounded in general, so no static
-    // broadcast hint here.
-    withResid
-      .withColumn("__subj", coalesce(col(check.idCol).cast("string"), lit("∅")))
-      .join(subjStats.select(col("__key"), col("__subj"),
-        col("n").as("__n_subj"), col("s").as("__rsum")), Seq("__key", "__subj"))
-      .drop("__subj")
-      .join(broadcast(est), Seq("__key"), "left")
-      .join(broadcast(cutoffs), Seq("__key"), "left")
-      .withColumn("rscaled", VarComp.whitenExpr(col("__n_subj"), col("resid"), col("__rsum")))
-      .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
-      .withColumn("flag_outlier",
-        coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
-      .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
+
+    check.slopeVar match {
+      case Some(tv) =>
+        // random = INTERCEPT <var> (the reference's `random=`/`type=UN`
+        // surface, longitudinalPlot.sas:49-51,128-129): Swamy-type
+        // intercept+slope components (stats.RandomSlope), flags from the
+        // marginal studentized residual r/√V_jj — pure row arithmetic
+        // against the broadcast per-scope estimate, no per-subject join.
+        // The fgls alternation is a random-intercept device; slope mode
+        // always reads the plain OLS residuals.
+        val slopeEst = graft.stats.RandomSlope.estimates(
+          graft.stats.RandomSlope.subjStats(
+            withResid0.withColumn("__subj",
+              coalesce(col(check.idCol).cast("string"), lit("∅"))),
+            "__key", "__subj", tv, "resid"))
+        val cutoffs = cutoffsFor(slopeEst, olsFits)
+        withResid0
+          .join(broadcast(slopeEst), Seq("__key"), "left")
+          .join(broadcast(cutoffs), Seq("__key"), "left")
+          .withColumn("rscaled",
+            graft.stats.RandomSlope.scaledResidual(col("resid"), col(tv).cast("double")))
+          .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
+          .withColumn("flag_outlier",
+            coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
+          .drop("sigma_e2", "g00", "g01", "g11", "k_subjects", "k3", "n_rows")
+
+      case None =>
+        // the per-subject stats frame is REUSED: variance components read
+        // it here, and the whitening join below reads (n, s) per subject —
+        // cached so the OLS residual pass runs once, not once per
+        // consumer. Narrow (5 columns, one row per subject).
+        val subjStats0 = subjStatsOf(withResid0).trackedCache()
+        val est0 = estOf(subjStats0)
+        // fgls: one more alternation — β re-estimated by GLS under est0,
+        // then residuals and variance components recomputed under β_gls
+        // (the PROC MIXED joint-estimation step, longitudinalPlot.sas:423-442)
+        val (fits, withResid, subjStats, est) =
+          if (!check.fgls) (olsFits, withResid0, subjStats0, est0)
+          else {
+            val keyed = OlsPass.withKey(df, check.outcome, d, check.scope)
+            val glsFits = graft.stats.Fgls.refit(keyed, check.outcome, d,
+              check.idCol, rawFits.map { case (k, (r, _)) => k -> r }, est0)
+            val wr = OlsPass.rowStats(df, check.outcome, d, check.scope, glsFits)
+            val ss = subjStatsOf(wr).trackedCache()
+            (glsFits, wr, ss, estOf(ss))
+          }
+        val cutoffs = cutoffsFor(est, fits)
+        // per-subject count/sum join back the cached stats frame instead
+        // of a Window.partitionBy: the window plans a full shuffle-SORT of
+        // the row-proportional frame; the join shuffles hash-only, and
+        // with AQE on the (one row per subject) stats side broadcasts
+        // whenever it is small enough — subject cardinality is unbounded
+        // in general, so no static broadcast hint here.
+        withResid
+          .withColumn("__subj", coalesce(col(check.idCol).cast("string"), lit("∅")))
+          .join(subjStats.select(col("__key"), col("__subj"),
+            col("n").as("__n_subj"), col("s").as("__rsum")), Seq("__key", "__subj"))
+          .drop("__subj")
+          .join(broadcast(est), Seq("__key"), "left")
+          .join(broadcast(cutoffs), Seq("__key"), "left")
+          .withColumn("rscaled", VarComp.whitenExpr(col("__n_subj"), col("resid"), col("__rsum")))
+          .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
+          .withColumn("flag_outlier",
+            coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
+          .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
+    }
   }
 
   /** Per-scope model summary: OLS and feasible-GLS fixed effects plus the

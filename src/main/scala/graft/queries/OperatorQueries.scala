@@ -415,6 +415,73 @@ object OperatorQueries {
                CAST(n AS BIGINT) AS n_rows
              FROM b""")),
 
+    // M4 random = INTERCEPT t (type=UN) — Swamy-type two-stage MoM for
+    // intercept+slope variance components (stats.RandomSlope): every step
+    // is closed-form arithmetic (per-subject OLS from sufficient stats,
+    // bias-corrected coefficient covariance, marginal studentized
+    // residuals), so unlike REML the whole chain gets a DuckDB oracle
+    QuerySpec("q67_random_slope",
+      (s, dir) => {
+        val ev = read(s, dir, "events")
+          .withColumn("t_day",
+            col("ts").cast("timestamp_ltz").cast("double") / 86400.0 - 19723.0)
+        val d = OlsPass.design(ev, Seq("t_day"), Nil)
+        val fits = OlsPass.fitPerGroup(ev, "value", d, Nil)
+        val wr = OlsPass.rowStats(ev, "value", d, Nil, fits)
+        val est = graft.stats.RandomSlope.estimates(
+          graft.stats.RandomSlope.subjStats(
+            wr.withColumn("__subj", col("user_id").cast("string")),
+            "__key", "__subj", "t_day", "resid"))
+        val counts = wr.join(broadcast(est), Seq("__key"))
+          .withColumn("rscaled",
+            graft.stats.RandomSlope.scaledResidual(col("resid"), col("t_day")))
+          .groupBy(col("__key"))
+          .agg(sum(when(abs(col("rscaled")) >= 2.0, 1L).otherwise(0L)).as("n_ge2"))
+        est.join(counts, Seq("__key"))
+          .select(round(col("sigma_e2"), 6).as("sigma_e2"),
+            round(col("g00"), 6).as("g00"),
+            round(col("g01"), 6).as("g01"),
+            round(col("g11"), 6).as("g11"),
+            col("k3"), col("n_rows"), col("n_ge2"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch(ts)/86400.0 - 19723.0 AS t, value AS y FROM events),
+             g AS (SELECT count(*) AS n, avg(t) AS xbar, avg(y) AS ybar,
+                     sum(t*t) AS sx2, sum(t*y) AS sxy0 FROM ev),
+             r AS (SELECT e.user_id, e.t,
+                     e.y - g.ybar - ((g.sxy0 - g.n*g.xbar*g.ybar)/(g.sx2 - g.n*g.xbar*g.xbar)) * (e.t - g.xbar) AS r
+                   FROM ev e CROSS JOIN g),
+             subj AS (SELECT user_id, count(*) AS n, sum(t) AS st, sum(t*t) AS stt,
+                        sum(r) AS sr, sum(r*t) AS srt, sum(r*r) AS srr
+                      FROM r GROUP BY 1),
+             ps AS (SELECT *, n*stt - st*st AS det,
+                      (n >= 3 AND n*stt - st*st > 1e-12*(abs(n*stt)+1.0)) AS ok FROM subj),
+             ps2 AS (SELECT *, (stt*sr - st*srt)/det AS a, (n*srt - st*sr)/det AS c
+                     FROM ps WHERE ok),
+             agg AS (SELECT (SELECT sum(n) FROM subj) AS n_rows,
+                      count(*) AS k3, sum(n-2) AS dfe,
+                      sum(srr - a*sr - c*srt) AS sse_sum,
+                      sum(a) AS sa, sum(c) AS sc, sum(a*a) AS saa,
+                      sum(c*c) AS scc, sum(a*c) AS sac,
+                      sum(stt/det) AS sv00, sum(-st/det) AS sv01, sum(n/det) AS sv11
+                    FROM ps2),
+             est AS (SELECT n_rows, k3, sse_sum/dfe AS sigma_e2,
+                      (saa - sa*sa/k3)/(k3-1) AS s00, (scc - sc*sc/k3)/(k3-1) AS s11,
+                      (sac - sa*sc/k3)/(k3-1) AS s01,
+                      sv00/k3 AS v00, sv01/k3 AS v01, sv11/k3 AS v11 FROM agg),
+             est2 AS (SELECT n_rows, k3, sigma_e2,
+                      greatest(s00 - sigma_e2*v00, 0.0) AS g00,
+                      greatest(s11 - sigma_e2*v11, 0.0) AS g11,
+                      s01 - sigma_e2*v01 AS g01raw FROM est),
+             est3 AS (SELECT *, sign(g01raw) * least(abs(g01raw), sqrt(g00*g11)) AS g01 FROM est2),
+             cnt AS (SELECT count(*) AS n_ge2 FROM r CROSS JOIN est3
+                     WHERE g00 + 2*g01*r.t + g11*r.t*r.t + sigma_e2 > 0
+                       AND abs(r.r / sqrt(g00 + 2*g01*r.t + g11*r.t*r.t + sigma_e2)) >= 2.0)
+             SELECT round(sigma_e2, 6) AS sigma_e2, round(g00, 6) AS g00,
+               round(g01, 6) AS g01, round(g11, 6) AS g11,
+               CAST(k3 AS BIGINT) AS k3, CAST(n_rows AS BIGINT) AS n_rows,
+               (SELECT n_ge2 FROM cnt) AS n_ge2
+             FROM est3""")),
+
     // Exact-dup drop-list operator (keep-min-id policy)
     QuerySpec("q53_dedup_droplist",
       (s, dir) => {
