@@ -117,17 +117,45 @@ object GroupVariance {
       .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
       .groupBy("__key", "cmp", "side")
       .agg(medUdf(collect_list(col("__sk"))).as("med"))
-    // one-vs-rest expansion: each row contributes to every comparison,
-    // side=1 when it belongs to the compared group (A10 fused). The
-    // broadcast join IS the explode — k rows out per input row — and this
-    // is now the ONLY pass over the exploded frame, running nothing but
-    // codegen'd sum/count aggregates.
-    val exploded = r.join(broadcast(dom), Seq("__key"))
+    // one-vs-rest WITHOUT the explode (round-4 shape): each row of group h
+    // needs |r − m| against k different side medians (side=1's own median
+    // when c = h, side=0's rest median otherwise) — but that whole median
+    // VECTOR is constant per (scope, group), so it rides in as ONE ordered
+    // array on the tiny per-group frame and the k-length loop runs inside
+    // a mergeable typed-imperative aggregate (stats.AbsDevSumsAgg). The
+    // row-proportional frame is read ONCE at 1× — the previous
+    // broadcast-join explode materialized k× rows through two hash probes
+    // per comparison, the dominant suite cost at 100 M pages.
+    val medWide = medians.groupBy(col("__key"), col("cmp")).agg(
+      max(when(col("side") === 1, col("med"))).as("med1"),
+      max(when(col("side") === 0, col("med"))).as("med0"))
+    val grpMeds = perGrp.select(col("__key"), col("__grp"))
+      .join(broadcast(medWide), Seq("__key"))
+      .groupBy(col("__key"), col("__grp"))
+      .agg(sort_array(collect_list(struct(col("cmp"),
+        when(col("cmp") === col("__grp"), col("med1")).otherwise(col("med0"))
+          .as("med")))).as("cm"))
+      .select(col("__key"), col("__grp"),
+        col("cm.cmp").as("cmps"), col("cm.med").as("meds"))
+    val grpSums = r.join(broadcast(grpMeds), Seq("__key", "__grp"))
+      .groupBy(col("__key"), col("__grp"))
+      .agg(count(lit(1)).as("n_g"),
+        graft.stats.AbsDevSumsAgg.sums(col("rscaled"), col("meds")).as("arr"),
+        first("cmps").as("cmps"))
+    // unpack the [Σz | Σz²] buffer on the k-rows-per-scope reduced frame
+    // (k² tiny rows after the posexplode) and fold to per-(cmp, side) sums
+    val kCol = size(col("cmps"))
+    val sideStats = grpSums
+      .select(col("__key"), col("__grp"), col("n_g"), col("cmps"),
+        slice(col("arr"), lit(1), kCol).as("z1s"),
+        slice(col("arr"), kCol + lit(1), kCol).as("z2s"))
+      .select(col("__key"), col("__grp"), col("n_g"),
+        posexplode(arrays_zip(col("cmps"), col("z1s"), col("z2s"))))
+      .select(col("__key"), col("__grp"), col("n_g"),
+        col("col.cmps").as("cmp"), col("col.z1s").as("z1"), col("col.z2s").as("z2"))
       .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
-    val withZ = exploded.join(broadcast(medians), Seq("__key", "cmp", "side"))
-      .withColumn("z", abs(col("rscaled") - col("med")))
-    val sideStats = withZ.groupBy("__key", "cmp", "side")
-      .agg(count(lit(1)).as("n_s"), sum("z").as("sz"), sum(col("z") * col("z")).as("szz"))
+      .groupBy("__key", "cmp", "side")
+      .agg(sum("n_g").as("n_s"), sum("z1").as("sz"), sum("z2").as("szz"))
     // two-sample one-way ANOVA F from side stats
     val perCmp = sideStats.groupBy("__key", "cmp").agg(
       sum("n_s").as("n"),
