@@ -189,4 +189,5 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(qm(0) - qf(0)) <= 15.0) // both ~500 within sketch error
     assert(KllSketchAgg.n(merged) == 1000)
   }
+
 }
