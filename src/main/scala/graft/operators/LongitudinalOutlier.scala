@@ -103,8 +103,14 @@ object LongitudinalOutlier {
           .withColumn("rscaled",
             graft.stats.RandomSlope.scaledResidual(col("resid"), col(tv).cast("double")))
           .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
+          // !isnan(rscaled): NaN sorts above every double in Spark, so an
+          // unguarded abs(NaN) >= cutoff is TRUE and a degenerate scope
+          // (missed broadcast join, <2 informative subjects) would flag
+          // every row; with the guard (and scaledResidual's NULL-on-
+          // degenerate) the comparison nulls out and coalesce lands false.
           .withColumn("flag_outlier",
-            coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
+            coalesce(!col("cutoff").isNaN && !isnan(col("rscaled")) &&
+              abs(col("rscaled")) >= col("cutoff"), lit(false)))
           .drop("sigma_e2", "g00", "g01", "g11", "k_subjects", "k3", "n_rows")
 
       case None =>
@@ -143,8 +149,11 @@ object LongitudinalOutlier {
           .join(broadcast(cutoffs), Seq("__key"), "left")
           .withColumn("rscaled", VarComp.whitenExpr(col("__n_subj"), col("resid"), col("__rsum")))
           .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
+          // same NaN guard as the slopeVar branch: whitenExpr yields NaN on
+          // degenerate components, and NaN compares above every cutoff.
           .withColumn("flag_outlier",
-            coalesce(!col("cutoff").isNaN && abs(col("rscaled")) >= col("cutoff"), lit(false)))
+            coalesce(!col("cutoff").isNaN && !isnan(col("rscaled")) &&
+              abs(col("rscaled")) >= col("cutoff"), lit(false)))
           .drop("sigma_b2", "sigma_e2", "k_subjects", "n_rows")
     }
   }

@@ -506,9 +506,16 @@ object Multimodal {
         var isVids = false
         while (p + 8 <= end) {
           val id = fourCC(bytes, p); val sz = le32(bytes, p + 4)
+          // a hostile/corrupt negative le32 size would advance p by <= 0
+          // (sz = -8/-9 loops forever inside a UDF) — treat as malformed
+          // and stop; the payload decodes as far as its well-formed prefix
+          if (sz < 0) return
           if (id == "strh" && sz >= 4)
             isVids = fourCC(bytes, p + 8) == "vids"
-          else if (id == "strf" && isVids && !haveFmt && sz >= 18) {
+          // sz >= 20 so biBitCount (data+14..15) and biCompression
+          // (data+16..19) are inside the declared chunk, not its pad byte
+          // or the next chunk's header
+          else if (id == "strf" && isVids && !haveFmt && sz >= 20) {
             vidW = le32(bytes, p + 12)      // biWidth  (data + 4)
             vidH = le32(bytes, p + 16)      // biHeight (data + 8)
             vidBits = le16(bytes, p + 22)   // biBitCount (data + 14)
@@ -523,6 +530,7 @@ object Multimodal {
         var p = off
         while (p + 8 <= end) {
           val id = fourCC(bytes, p); val sz = le32(bytes, p + 4)
+          if (sz < 0) return // malformed size: zero/negative advance loops forever
           val dataEnd = math.min(end, p + 8 + sz)
           if (id == "LIST" && sz >= 4) {
             fourCC(bytes, p + 8) match {

@@ -91,7 +91,12 @@ object UnPanelOutlier {
   def scored(df: DataFrame, cfg: Config): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val panel = residualPanel(df, cfg)
+    import graft.engine.CacheTracker.TrackedCacheOps
+    // the panel lineage (filter → 2 groupBys → 4 joins over the full
+    // input) is executed by BOTH the Σ̂ collect below and the scoring
+    // groupBy — cached so the row-proportional frame is read once, not
+    // twice (narrow: one row per (key, subj, slot), slots ≤ MaxSlots)
+    val panel = residualPanel(df, cfg).trackedCache()
     // T² entries per scope — the ONLY driver-side collect, key-proportional
     val entries = UnCov.pooledCrossProducts(panel, "__key", "__subj", "__si", "__r")
       .collect()
@@ -124,8 +129,14 @@ object UnPanelOutlier {
       .drop("__v")
   }
 
-  def verdicts(df: DataFrame, cfg: Config): DataFrame = {
-    val framed = scored(df, cfg).groupBy(col("__key")).agg(
+  def verdicts(df: DataFrame, cfg: Config): DataFrame =
+    verdictsFrom(scored(df, cfg), cfg)
+
+  /** Verdicts from a prebuilt `scored` frame — lets the Runner (and any
+    * caller that needs both outputs) build the eager, Σ̂-collecting scored
+    * lineage ONCE, matching the sibling operators' `verdictsFrom` shape. */
+  def verdictsFrom(sc: DataFrame, cfg: Config): DataFrame = {
+    val framed = sc.groupBy(col("__key")).agg(
       sum(when(col("flag_outlier"), 1L).otherwise(0L)).as("n_outliers"),
       count(lit(1)).as("n"),
       (max(when(col("d2").isNotNull, 1).otherwise(0)) === 1).as("evaluable"),
@@ -140,8 +151,11 @@ object UnPanelOutlier {
     Results.toVerdicts(framed, cfg.id, cfg.severity)
   }
 
-  def violations(df: DataFrame, cfg: Config): DataFrame = {
-    val v = scored(df, cfg).filter(col("flag_outlier")).select(
+  def violations(df: DataFrame, cfg: Config): DataFrame =
+    violationsFrom(scored(df, cfg), cfg)
+
+  def violationsFrom(sc: DataFrame, cfg: Config): DataFrame = {
+    val v = sc.filter(col("flag_outlier")).select(
       col("__subj").as("key"),
       col("__key").as("partition"),
       concat(lit("d2="), round(col("d2"), 4).cast("string")).as("observed"),

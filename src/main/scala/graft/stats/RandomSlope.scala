@@ -88,9 +88,14 @@ object RandomSlope {
       .withColumn("s00", when(k > 1, (col("saa") - col("sa") * col("sa") / k) / (k - 1)).otherwise(nan))
       .withColumn("s11", when(k > 1, (col("scc") - col("sc") * col("sc") / k) / (k - 1)).otherwise(nan))
       .withColumn("s01", when(k > 1, (col("sac") - col("sa") * col("sc") / k) / (k - 1)).otherwise(nan))
-      .withColumn("g00", greatest(col("s00") - col("sigma_e2") * col("sv00") / k, lit(0.0)))
-      .withColumn("g11", greatest(col("s11") - col("sigma_e2") * col("sv11") / k, lit(0.0)))
-      .withColumn("g01raw", col("s01") - col("sigma_e2") * col("sv01") / k)
+      // k > 1 guard: k = 0 would divide by zero (an ANSI-mode task failure,
+      // not an IEEE NaN) the moment a scope has no informative subjects
+      .withColumn("g00", when(k > 1,
+        greatest(col("s00") - col("sigma_e2") * col("sv00") / k, lit(0.0))).otherwise(nan))
+      .withColumn("g11", when(k > 1,
+        greatest(col("s11") - col("sigma_e2") * col("sv11") / k, lit(0.0))).otherwise(nan))
+      .withColumn("g01raw", when(k > 1,
+        col("s01") - col("sigma_e2") * col("sv01") / k).otherwise(nan))
       .withColumn("g01",
         signum(col("g01raw")) * least(abs(col("g01raw")), sqrt(col("g00") * col("g11"))))
     est.select(col(keyCol),
@@ -100,10 +105,15 @@ object RandomSlope {
 
   /** Marginal studentized residual: r / √(g00 + 2·g01·t + g11·t² + σ²_e)
     * — the diagonal of V for the intercept+slope model. NaN components or
-    * a non-positive variance yield NaN (flags coalesce to false). */
+    * a non-positive variance yield NULL, never NaN: Spark orders NaN above
+    * every double, so a NaN residual would satisfy `abs(r*) >= cutoff` and
+    * silently flag every row of a degenerate scope (< 2 informative
+    * subjects). NULL comparisons yield NULL and the callers'
+    * `coalesce(flag, false)` lands on false, matching the py-oracle's
+    * `~isnan` convention (tools/pyoracles.py). */
   def scaledResidual(rCol: org.apache.spark.sql.Column, tCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val v = col("g00") + lit(2.0) * col("g01") * tCol + col("g11") * tCol * tCol + col("sigma_e2")
-    when(v > 0, rCol / sqrt(v)).otherwise(lit(Double.NaN))
+    when(!isnan(v) && v > 0 && !isnan(rCol), rCol / sqrt(v))
   }
 }

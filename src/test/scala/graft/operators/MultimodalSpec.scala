@@ -255,4 +255,52 @@ class MultimodalSpec extends SparkSpec {
     assert(byKey("cut").forall(r =>
       r.getAs[Int]("frame_idx") == 0 || !r.getAs[Boolean]("decoded")))
   }
+
+  test("negative RIFF chunk sizes terminate the walk (no infinite loop)") {
+    // sz = -8 gives zero advance and sz = -9 (odd) oscillates: before the
+    // guard both hung the executor task forever inside the UDF
+    def patched(sz: Int): Array[Byte] = {
+      val b = Multimodal.syntheticAvi(3, 4, 4, 2).clone()
+      // first chunk after the 12-byte RIFF/AVI header: size field at 16
+      b(16) = (sz & 0xff).toByte; b(17) = ((sz >> 8) & 0xff).toByte
+      b(18) = ((sz >> 16) & 0xff).toByte; b(19) = ((sz >> 24) & 0xff).toByte
+      b
+    }
+    for (sz <- Seq(-8, -9, -1, Int.MinValue)) {
+      val rows = Multimodal.videoFrameFeatures(patched(sz), 1)
+      assert(rows.nonEmpty && rows.forall(!_.decoded), s"sz=$sz must flag, not hang")
+    }
+  }
+
+  test("undersized strf chunk (sz in 18..19) is ignored, not read past") {
+    // biBitCount needs sz >= 16 and biCompression sz >= 20: a declared 18
+    // used to read 2 bytes past the chunk into the next header
+    def minimalAvi(strfSz: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val strfData = new Array[Byte](strfSz + (strfSz & 1)) // data + pad
+      val strlBody = 4 + (8 + 4) + (8 + strfData.length)    // "strl" + strh + strf
+      val hdrlBody = 4 + (8 + strlBody)
+      val frame = new Array[Byte](16)
+      val moviBody = 4 + (8 + frame.length)
+      tag("RIFF"); w32(4 + (8 + hdrlBody) + (8 + moviBody)); tag("AVI ")
+      tag("LIST"); w32(hdrlBody); tag("hdrl")
+      tag("LIST"); w32(strlBody); tag("strl")
+      tag("strh"); w32(4); tag("vids")
+      tag("strf"); w32(strfSz); out.write(strfData)
+      tag("LIST"); w32(moviBody); tag("movi")
+      tag("00db"); w32(frame.length); out.write(frame)
+      out.toByteArray
+    }
+    for (sz <- Seq(18, 19)) {
+      val rows = Multimodal.videoFrameFeatures(minimalAvi(sz), 1)
+      // format ignored → the DIB frame cannot validate → flagged, no throw
+      assert(rows.nonEmpty && rows.forall(!_.decoded), s"strf sz=$sz")
+    }
+    // control: a well-formed 40-byte strf with matching geometry decodes
+    val ok = Multimodal.videoFrameFeatures(Multimodal.syntheticAvi(3, 4, 4, 1), 1)
+    assert(ok.forall(_.decoded))
+  }
 }

@@ -120,4 +120,21 @@ class RandomSlopeSpec extends SparkSpec {
     assert(flagged.contains((9L, 2.0)), "planted spike must flag")
     assert(flagged.size <= 3, s"no flag storm: $flagged")
   }
+
+  test("degenerate scope (<2 informative subjects) flags NOTHING, not everything") {
+    // every subject has n < 3 → k3 = 0 → NaN components; before the guard,
+    // NaN rscaled compared above the cutoff (Spark orders NaN highest) and
+    // every row of the scope was flagged an outlier
+    val rows = (1 to 8).flatMap { i =>
+      Seq((i.toLong, 1.0, 2.0 + i), (i.toLong, 2.0, 3.0 + i))
+    }
+    val df = rows.toDF("subj", "t", "y")
+    val f = graft.operators.LongitudinalOutlier.flagged(df,
+      graft.checks.LongitudinalOutlierCheck("rs0", "y", "subj",
+        contCovariates = Seq("t"), cutoffPct = 90.0, slopeVar = Some("t")))
+    assert(f.filter(col("flag_outlier")).count() == 0,
+      "NaN scaled residuals must coalesce to unflagged")
+    // and the scaled residual itself is NULL (never NaN) on that scope
+    assert(f.filter(col("rscaled").isNotNull).count() == 0)
+  }
 }
