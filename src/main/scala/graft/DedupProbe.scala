@@ -63,7 +63,7 @@ object DedupProbe {
       sum(when(col("count") > 1000, 1L).otherwise(0L)).as("b_gt1k")).show(false)
 
     val t1 = System.nanoTime()
-    val (_, drops) = Dedup.nearDupSurfaces(pages, "url", "text", maxHamming)
+    val (_, drops, _) = Dedup.nearDupSurfaces(pages, "url", "text", maxHamming)
     val byReason = drops.groupBy("reason").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     println(f"[probe] nearDupSurfaces ${(System.nanoTime() - t1) / 1e9}%.1f s drops=$byReason")

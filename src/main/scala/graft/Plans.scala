@@ -45,7 +45,7 @@ object Plans {
     // ---- round-3/4 lineages ----
     show("exact drop-list, two-phase (hash-agg dup fingerprints -> semi-join -> rank dups only)")(
       Dedup.exactDropList(pages, "url", "text"))
-    val (sig, drops) = Dedup.nearDupSurfaces(pages, "url", "text")
+    val (sig, drops, _) = Dedup.nearDupSurfaces(pages, "url", "text")
     show("NearDupCheck drops (ONE cached signature pass; near phase anti-joins exact drops)")(drops)
     sig.unpersist()
     // deterministic synthetic embeddings — plan shape only

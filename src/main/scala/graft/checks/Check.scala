@@ -179,6 +179,36 @@ final case class LongitudinalOutlierCheck(
       * r/√V_jj. None (default) keeps the random-intercept model. */
     slopeVar: Option[String] = None) extends Check
 
+/** Unstructured-covariance panel outlier — the PROC MIXED
+  * `repeated <slot> / subject=<id> type=UN` surface of
+  * longitudinalPlot.sas:423-442 as a first-class check, for
+  * slot-structured panels (visit / calendar-bin designs), complementing
+  * the random-intercept default (LongitudinalOutlierCheck).
+  *
+  * Per scope: the panel value is the per-(subject, slot) outcome mean;
+  * complete-case subjects form the panel; Σ̂ is the pooled residual
+  * cross-product matrix; each subject's Mahalanobis d² = rᵀ Σ̂⁻¹ r is
+  * flagged against the χ²_T quantile at `cutoffPct`. Scopes with a
+  * singular Σ̂ report pass = null (not evaluable); scopes whose slot
+  * count exceeds `stats.UnCov.MaxSlots` are excluded (T² blow-up guard).
+  */
+final case class UnPanelCheck(
+    id: String,
+    outcome: String,
+    idCol: String,
+    /** The repeated-measure slot: either an existing column (`slotCol`) or
+      * a calendar bin derived from `dateCol` at `interval` (the reference's
+      * visit/period panels, Categorical_Check.sas:104-141 binning applied
+      * to the MIXED `repeated` slot). Exactly one of the two must be set —
+      * compile defaults a both/neither misconfiguration to dateCol form
+      * when a dateCol exists and aborts otherwise. */
+    slotCol: String = "",
+    dateCol: Option[String] = None,
+    interval: String = "quarter",
+    scope: Seq[String] = Nil,
+    cutoffPct: Double = 99.0,
+    severity: String = "warn") extends Check
+
 /** Distribution drift across time windows (north rule): equal-width
   * histogram of `column` per `interval` window of `dateCol`; chi-square +
   * KS statistic of each window vs the pooled rest; flag p < alpha.

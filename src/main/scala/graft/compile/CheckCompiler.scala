@@ -62,6 +62,9 @@ object CheckCompiler {
       Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
     case c: LongitudinalOutlierCheck =>
       Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
+    case c: UnPanelCheck =>
+      Seq(c.outcome, c.idCol) ++
+        (if (c.slotCol.nonEmpty) Seq(c.slotCol) else Nil) ++ c.dateCol.toSeq ++ c.scope
     case c: DriftCheck => Seq(c.column, c.dateCol) ++ c.scope
     case c: ByteIdentityCheck => Seq(c.keyCol, c.column)
     case c: NearDupCheck => Seq(c.idCol, c.textCol)
@@ -90,6 +93,13 @@ object CheckCompiler {
     case c: LongitudinalOutlierCheck =>
       colIssues(schema, c.id, referencedColumns(c),
         numeric = c.outcome +: c.contCovariates)
+    case c: UnPanelCheck =>
+      val slotIssue =
+        if (c.slotCol.isEmpty && c.dateCol.isEmpty)
+          List(Issue(c.id, "missing_slot", "need slotCol or dateCol"))
+        else Nil
+      slotIssue ++ colIssues(schema, c.id, referencedColumns(c),
+        numeric = Seq(c.outcome), temporal = c.dateCol.toSeq)
     case c: DriftCheck =>
       colIssues(schema, c.id, referencedColumns(c),
         numeric = Seq(c.column), temporal = Seq(c.dateCol))
@@ -158,6 +168,21 @@ object CheckCompiler {
         }
         if (!Set("mom", "reml").contains(out.method.toLowerCase)) {
           warn("defaulted_param", s"method=${out.method} → mom"); out = out.copy(method = "mom")
+        }
+        out
+      case c: UnPanelCheck =>
+        var out = c
+        // same goto-defaulting range as the other cutoff checks
+        // (univariatePlot.sas:158-191), default at the χ² convention 99
+        if (c.cutoffPct <= 50 || c.cutoffPct >= 100) {
+          warn("defaulted_param", s"cutoffPct=${c.cutoffPct} → 99"); out = out.copy(cutoffPct = 99)
+        }
+        if (!Intervals(c.interval.toLowerCase)) {
+          warn("defaulted_param", s"interval=${c.interval} → quarter"); out = out.copy(interval = "quarter")
+        }
+        if (c.slotCol.nonEmpty && c.dateCol.nonEmpty) {
+          warn("defaulted_param", "both slotCol and dateCol set → dateCol binning wins")
+          out = out.copy(slotCol = "")
         }
         out
       case c: DriftCheck =>

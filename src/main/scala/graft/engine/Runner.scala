@@ -185,6 +185,13 @@ object Runner {
       case c: LongitudinalOutlierCheck =>
         val f = LongitudinalOutlier.flagged(input, c)
         (LongitudinalOutlier.verdictsFrom(f, c), LongitudinalOutlier.violationsFrom(f, c))
+      // type=UN panel outliers: the (eager, Σ̂-collecting) scored frame is
+      // built ONCE and cached — one row per (scope, subject) — so verdicts
+      // and violations share the lineage instead of re-running the panel
+      case c: UnPanelCheck =>
+        val (dfp, cfg) = UnPanelOutlier.prepared(input, c)
+        val sc = CacheTracker.cached(UnPanelOutlier.scored(dfp, cfg))
+        (UnPanelOutlier.verdictsFrom(sc, cfg), UnPanelOutlier.violationsFrom(sc, cfg))
       case c: DriftCheck =>
         val t = Drift.tests(input, c, cellPre.get(c.id))
         (Drift.verdictsFrom(t, c), Drift.violationsFrom(t, c))
@@ -195,10 +202,10 @@ object Runner {
       // pass (cached inside nearDupSurfaces) + a cached tiny drop frame
       // shared by both outputs
       case c: NearDupCheck =>
-        val (sig, drops0) = Dedup.nearDupSurfaces(input, c.idCol, c.textCol,
-          c.maxHamming, c.maxBucket)
+        val (sig, drops0, capStats) = Dedup.nearDupSurfaces(input, c.idCol,
+          c.textCol, c.maxHamming, c.maxBucket)
         val drops = CacheTracker.cached(drops0)
-        (Dedup.nearDupVerdictsFrom(sig, drops, c),
+        (Dedup.nearDupVerdictsFrom(sig, drops, capStats, c),
           Dedup.nearDupViolationsFrom(drops, c))
     }
 

@@ -41,16 +41,31 @@ object Dedup {
     * with no extra shuffle. The hot-bucket list is provably broadcastable:
     * at most n/cap keys can exceed the cap. */
   private[operators] def capBucket(df: DataFrame, bucketCol: String,
-      orderCol: String, cap: Int): DataFrame = {
-    val hot = df.groupBy(bucketCol).agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") > cap).select(bucketCol)
+      orderCol: String, cap: Int): DataFrame =
+    capBucketWithStats(df, bucketCol, orderCol, cap)._1
+
+  /** `capBucket` plus a one-row stats frame (n_capped_buckets,
+    * n_capped_rows = members dropped by truncation) so callers can SURFACE
+    * the documented recall tradeoff instead of truncating silently —
+    * at 100 TB an adversarial/boilerplate corpus hits the cap hard and the
+    * verdict reader needs to see it. The hot-bucket frame is tiny (≤ n/cap
+    * keys) and cached: it feeds both joins and the stats agg. */
+  private[operators] def capBucketWithStats(df: DataFrame, bucketCol: String,
+      orderCol: String, cap: Int): (DataFrame, DataFrame) = {
+    val hotFull = df.groupBy(bucketCol).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > cap)
+      .trackedCache()
+    val hot = hotFull.select(bucketCol)
+    val stats = hotFull.agg(
+      count(lit(1)).as("n_capped_buckets"),
+      coalesce(sum(col("__bc") - cap), lit(0L)).as("n_capped_rows"))
     val cold = df.join(broadcast(hot), Seq(bucketCol), "left_anti")
     val capped = df.join(broadcast(hot), Seq(bucketCol), "left_semi")
       .withColumn("__bn",
         row_number().over(Window.partitionBy(bucketCol).orderBy(col(orderCol))))
       .filter(col("__bn") <= cap)
       .drop("__bn")
-    cold.unionByName(capped.select(cold.columns.map(col): _*))
+    (cold.unionByName(capped.select(cold.columns.map(col): _*)), stats)
   }
 
   /** Exact duplicate groups by normalized-text fingerprint.
@@ -164,7 +179,8 @@ object Dedup {
     * id appears at most once. Near-dup losers follow the keep-min-id
     * convention: in every qualifying pair the larger id drops. */
   def nearDupSurfaces(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sig = df.select(col(idCol).cast("string").as("id"),
         TF.fingerprint(col(textCol)).as("fp"),
         SimHash64.ofText(col(textCol)).as("sim"))
@@ -181,17 +197,26 @@ object Dedup {
     // near candidates over the exact-deduped survivors only
     val nearInput = sig.join(exactDrops.select(col("drop_id").as("id")),
       Seq("id"), "left_anti")
-    val nearDrops = simhashPairs(nearInput.select("id", "sim"), maxHamming, maxBucket)
+    val (pairs, capStats) =
+      simhashPairsWithStats(nearInput.select("id", "sim"), maxHamming, maxBucket)
+    val nearDrops = pairs
       .groupBy(col("id_b").as("drop_id"))
       .agg(min(struct(col("hamming"), col("id_a"))).as("__m"))
       .select(col("drop_id"), lit("near").as("reason"),
         col("__m.id_a").as("dup_of"), col("__m.hamming").as("hamming"))
-    (sig, exactDrops.unionByName(nearDrops))
+    (sig, exactDrops.unionByName(nearDrops), capStats)
   }
 
-  /** NearDupCheck verdict: ONE row — drop fraction vs maxDupFrac. Both
-    * counts ride the cached surfaces (no input re-scan). */
-  def nearDupVerdictsFrom(sig: DataFrame, drops: DataFrame,
+  /** NearDupCheck verdicts: TWO rows, both riding the cached surfaces (no
+    * input re-scan) —
+    *  - `dup_fraction`: drop fraction vs maxDupFrac;
+    *  - `capped_buckets`: how many candidate buckets hit the `maxBucket`
+    *    truncation cap (stat) and how many members were cut (n_obs). The
+    *    cap's recall loss was previously SILENT; a fail here means "near-dup
+    *    recall is not guaranteed on this corpus — raise maxBucket or
+    *    pre-strip the boilerplate", which is exactly what an operator at
+    *    the 10^12-doc grain needs to see before trusting dup_fraction. */
+  def nearDupVerdictsFrom(sig: DataFrame, drops: DataFrame, capStats: DataFrame,
       check: NearDupCheck): DataFrame = {
     val total = sig.agg(count(lit(1)).cast("double").as("n_total"))
     val d = drops.agg(
@@ -204,7 +229,14 @@ object Dedup {
       lit(check.maxDupFrac).as("threshold"),
       col("n_total").cast("long").as("n_obs"),
       (col("n_drop") / greatest(col("n_total"), lit(1.0)) <= check.maxDupFrac).as("pass"))
-    Results.toVerdicts(framed, check.id, check.severity)
+    val capped = capStats.select(
+      lit("").as("partition"),
+      lit("capped_buckets").as("metric"),
+      col("n_capped_buckets").cast("double").as("stat"),
+      lit(0.0).as("threshold"),
+      col("n_capped_rows").cast("long").as("n_obs"),
+      (col("n_capped_buckets") === 0).as("pass"))
+    Results.toVerdicts(framed.unionByName(capped), check.id, check.severity)
   }
 
   /** NearDupCheck violations: one row per dropped id. */
@@ -234,7 +266,13 @@ object Dedup {
     * Hamming ≤ 3). Hot buckets (true boilerplate clusters) are still
     * capped (documented recall tradeoff). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashPairsWithStats(sig, maxHamming, maxBucket)._1
+
+  /** `simhashPairs` plus the one-row bucket-cap stats frame (see
+    * `capBucketWithStats`) for callers that surface truncation. */
+  def simhashPairsWithStats(sig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     val nBlocks = maxHamming + 3 // ≥ 3 clean blocks per qualifying pair
     val width = 64 / nBlocks
     def blockBits(i: Int): org.apache.spark.sql.Column = {
@@ -253,13 +291,14 @@ object Dedup {
     }
     val exploded0 = sig.select(col("id"), col("sim"),
       explode(array(keys: _*)).as("bucket"))
-    val exploded = capBucket(exploded0, "bucket", "id", maxBucket)
+    val (exploded, capStats) = capBucketWithStats(exploded0, "bucket", "id", maxBucket)
     val a = exploded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = exploded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", SimHash64.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b") // a pair may agree on several combos
+    (pairs, capStats)
   }
 }

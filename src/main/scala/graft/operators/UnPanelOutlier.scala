@@ -40,6 +40,19 @@ object UnPanelOutlier {
       cutoffPct: Double = 99.0,
       severity: String = "warning")
 
+  /** First-class check → (input with slot column, operator config) — the
+    * Runner's entry point. A dateCol-form check derives its slot as a
+    * calendar bin here (narrow projection, no shuffle); a slotCol-form
+    * check passes through. */
+  def prepared(df: DataFrame, c: graft.checks.UnPanelCheck): (DataFrame, Config) =
+    c.dateCol match {
+      case Some(d) =>
+        (df.withColumn("__un_slot", PanelBins.panel(col(d), c.interval)),
+          Config(c.id, c.outcome, c.idCol, "__un_slot", c.scope, c.cutoffPct, c.severity))
+      case None =>
+        (df, Config(c.id, c.outcome, c.idCol, c.slotCol, c.scope, c.cutoffPct, c.severity))
+    }
+
   private def keyed(df: DataFrame, cfg: Config): DataFrame = {
     val keyCol =
       if (cfg.scope.isEmpty) lit("")

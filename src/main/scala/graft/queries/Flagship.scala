@@ -44,7 +44,11 @@ object Flagship {
         cutoffPct = 99.9, cookCutoff = Some(7.0)),
       GroupVarianceCheck("score_variance", "score", "host_bucket"),
       LongitudinalOutlierCheck("score_longitudinal", "score", "host_id",
-        cutoffPct = 99.9))
+        cutoffPct = 99.9),
+      // type=UN panel covariance per host over quarterly score means —
+      // the round-5 promotion of the q64 operator into the Check ADT
+      UnPanelCheck("score_un_panel", "score", idCol = "host_id",
+        dateCol = Some("warc_ts"), interval = "quarter", cutoffPct = 99.9))
 
   /** LLM-pipeline dedup as a first-class check: planted exact clones
     * (~0.1%) and near-clones (~0.05%, one extra token). Its combo-key

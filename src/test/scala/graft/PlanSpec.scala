@@ -174,7 +174,7 @@ class PlanSpec extends SparkSpec {
   test("near-dup surfaces: cached signature pass; near phase excludes exact drops (anti-join)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
-    val (sig, drops) = graft.operators.Dedup.nearDupSurfaces(docs, "id", "text")
+    val (sig, drops, _) = graft.operators.Dedup.nearDupSurfaces(docs, "id", "text")
     try {
       val p = plan(drops)
       assert(p.contains("LeftAnti"),
@@ -182,6 +182,19 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
         "both phases must ride the ONE cached (id, fp, sim) signature frame")
     } finally sig.unpersist()
+  }
+
+  test("un-panel scoring reads the CACHED residual panel (no double execution)") {
+    import spark.implicits._
+    graft.engine.CacheTracker.scope {
+      val rows = (1 to 20).flatMap(s => (1 to 3).map(t => (s"s$s", t, 5.0 * t + s * 0.01)))
+      val df = rows.toDF("subj", "visit", "y")
+      val sc = graft.operators.UnPanelOutlier.scored(df,
+        graft.operators.UnPanelOutlier.Config("unp", "y", "subj", "visit"))
+      val p = plan(sc)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"scoring must ride the panel cache, not re-execute its lineage:\n${p.take(1200)}")
+    }
   }
 
   test("regression-outlier flagging pass is UDF-free (broadcast cutoff join)") {

@@ -30,7 +30,8 @@ class EngineSpec extends SparkSpec {
     // model families emit verdicts (present in the benched suite)
     val allIds = res.verdicts.select("check_id").distinct()
       .collect().map(_.getString(0)).toSet
-    assert(Set("score_variance", "score_longitudinal").subsetOf(allIds), allIds.toString)
+    assert(Set("score_variance", "score_longitudinal", "score_un_panel")
+      .subsetOf(allIds), allIds.toString)
     // the planted (quarter, bucket) panel is among the flagged ones
     val flaggedPanels = res.verdicts
       .filter(col("check_id") === "lang_consistency" && !col("pass"))
@@ -182,6 +183,50 @@ class EngineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "release() must unpersist every run-scoped cache, incl. the " +
         "GroupVariance row-proportional residual frame")
+  }
+
+  test("UnPanelCheck as a first-class check: planted panel outlier flags; resume ≡ fresh") {
+    import spark.implicits._
+    // 30 subjects × 4 slots with tight slot means; subject s07 is wild in
+    // slot 2 — its Mahalanobis d² must flag at χ²_4(99)
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 30).flatMap { s =>
+      (1 to 4).map { t =>
+        val spike = if (s == 7 && t == 2) 25.0 else 0.0
+        (f"s$s%02d", t, 10.0 * t + rng.nextGaussian() + spike, s % 2)
+      }
+    }
+    val df = rows.toDF("subj", "visit", "y", "unit")
+    val check = UnPanelCheck("unp", "y", idCol = "subj", slotCol = "visit")
+    val suite = Runner.Suite(checks = Seq(check), keyCol = "subj")
+    val res = Runner.run(df, suite)
+    val v = res.verdicts.collect()
+    assert(v.exists(r => r.getAs[String]("check_id") == "unp" &&
+      !r.getAs[Boolean]("pass")), "planted panel outlier must fail the verdict")
+    val keys = res.violations.select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("s07"), s"violation names the planted subject: $keys")
+    res.release()
+
+    // resume ≡ fresh through the checkpointed runner (the NearDupCheck
+    // promotion pattern): interrupted at 1 unit, resumed, same verdicts
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toString).sorted.toSeq
+    val dirA = java.nio.file.Files.createTempDirectory("graft-unp-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-unp-b").toString
+    val full = canon(Runner.runResumable(df, suite, dirB, "unit", "run-f").verdicts)
+    Runner.runResumable(df, suite, dirA, "unit", "run-1", failAfterUnits = 1)
+    val resumed = canon(Runner.runResumable(df, suite, dirA, "unit", "run-2").verdicts)
+    assert(resumed == full)
+  }
+
+  test("UnPanelCheck dateCol form derives calendar-bin slots (flagship shape)") {
+    val check = UnPanelCheck("unp_q", "score", idCol = "host_id",
+      dateCol = Some("warc_ts"), interval = "quarter", cutoffPct = 99.9)
+    val res = Runner.run(pages, Runner.Suite(checks = Seq(check), keyCol = "url"))
+    val v = res.verdicts.collect()
+    assert(v.nonEmpty && v.forall(_.getAs[String]("check_id") == "unp_q"))
+    // quarterly host panels over the generator are evaluable (k >> T)
+    assert(v.exists(r => !r.isNullAt(r.fieldIndex("pass"))), "evaluable scope expected")
+    res.release()
   }
 
   test("multimodal plumbing: decode stub and frame sampling shapes") {

@@ -47,7 +47,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val docs = Seq(
       ("a1", "x y z"), ("a2", "x y z"), ("a3", "x y z"),
       ("b1", "totally different content")).toDF("url", "text")
-    val (_, drops) = Dedup.nearDupSurfaces(docs, "url", "text")
+    val (_, drops, _) = Dedup.nearDupSurfaces(docs, "url", "text")
     val d = drops.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(d == Set(("a2", "exact", "a1"), ("a3", "exact", "a1")), d.toString)
@@ -56,7 +56,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // near-clones (one extra token); the generator is deterministic, so
     // the near count is a fixed property of the fixture
     val pages = graft.sources.Pages.generate(spark, 20000)
-    val (_, pd) = Dedup.nearDupSurfaces(pages, "url", "text")
+    val (_, pd, _) = Dedup.nearDupSurfaces(pages, "url", "text")
     val byReason = pd.groupBy("reason").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byReason.getOrElse("exact", 0L) == 20L, byReason.toString)
@@ -64,6 +64,36 @@ class DedupSimilaritySpec extends SparkSpec {
     // every near drop names a real kept id and a within-threshold distance
     val near = pd.filter(col("reason") === "near").collect()
     assert(near.forall(_.getInt(3) <= 3))
+  }
+
+  test("bucket-cap truncation is surfaced in the NearDupCheck verdict") {
+    import graft.checks.NearDupCheck
+    // healthy corpus: the deterministic Pages fixture — nothing hits the
+    // cap, so the capped_buckets verdict reads 0 / pass
+    val pages = graft.sources.Pages.generate(spark, 20000)
+    val (sig, drops, capStats) = Dedup.nearDupSurfaces(pages, "url", "text")
+    val healthy = Dedup.nearDupVerdictsFrom(sig, drops, capStats,
+      NearDupCheck("nd")).collect().map(r => r.getAs[String]("metric") -> r).toMap
+    assert(healthy("capped_buckets").getAs[Double]("stat") == 0.0)
+    assert(healthy("capped_buckets").getAs[Boolean]("pass"))
+    assert(healthy("capped_buckets").getAs[Long]("n_obs") == 0L)
+    sig.unpersist()
+
+    // adversarial boilerplate: 40 docs sharing a 200-token body with one
+    // unique token each — near-identical simhashes flood the candidate
+    // buckets past a small cap, and the verdict must SAY so instead of
+    // silently losing recall
+    val body = (1 to 200).map(i => s"w$i").mkString(" ")
+    val boiler = (1 to 40).map(i => (s"u$i", s"$body uniq$i")).toDF("url", "text")
+    val (s2, d2, c2) = Dedup.nearDupSurfaces(boiler, "url", "text", maxBucket = 5)
+    val capped = Dedup.nearDupVerdictsFrom(s2, d2, c2,
+      NearDupCheck("nd", maxBucket = 5))
+      .collect().map(r => r.getAs[String]("metric") -> r).toMap
+    assert(capped("capped_buckets").getAs[Double]("stat") > 0.0,
+      "planted boilerplate must report capped buckets")
+    assert(!capped("capped_buckets").getAs[Boolean]("pass"))
+    assert(capped("capped_buckets").getAs[Long]("n_obs") > 0L)
+    s2.unpersist()
   }
 
   test("simhash pairs are emitted once even when hashes agree on several blocks") {
