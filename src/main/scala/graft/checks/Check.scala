@@ -153,9 +153,11 @@ final case class LongitudinalOutlierCheck(
     cutoffPct: Double = 90,
     severity: String = "warn",
     /** Variance-component estimator: "mom" (ANOVA method-of-moments,
-      * fully distributed, the scale default) or "reml" (exact profile
-      * REML matching PROC MIXED's default method — longitudinalPlot.sas:
-      * 423-442 — driver optimization over GUARDED per-size classes). */
+      * fully distributed, the scale default) or "reml" (exact REML
+      * matching PROC MIXED's default method — longitudinalPlot.sas:
+      * 423-442 — driver optimization over GUARDED per-size classes; with
+      * `slopeVar` set, exact REML for the unstructured 2×2 G over guarded
+      * design classes, RandomSlope.remlEstimates). */
     method: String = "mom",
     /** One feasible-GLS iteration: re-estimate the fixed effects with the
       * variance-component-weighted normal equations (PROC MIXED fits them

@@ -90,12 +90,17 @@ object LongitudinalOutlier {
         // marginal studentized residual r/√V_jj — pure row arithmetic
         // against the broadcast per-scope estimate, no per-subject join.
         // The fgls alternation is a random-intercept device; slope mode
-        // always reads the plain OLS residuals.
-        val slopeEst = graft.stats.RandomSlope.estimates(
-          graft.stats.RandomSlope.subjStats(
-            withResid0.withColumn("__subj",
-              coalesce(col(check.idCol).cast("string"), lit("∅"))),
-            "__key", "__subj", tv, "resid"))
+        // always reads the plain OLS residuals. method="reml" swaps the
+        // Swamy two-stage MoM for exact REML over guarded design classes
+        // (RandomSlope.remlEstimates) — same output schema.
+        val slopeStats = graft.stats.RandomSlope.subjStats(
+          withResid0.withColumn("__subj",
+            coalesce(col(check.idCol).cast("string"), lit("∅"))),
+          "__key", "__subj", tv, "resid")
+        val slopeEst =
+          if (check.method.equalsIgnoreCase("reml"))
+            graft.stats.RandomSlope.remlEstimates(slopeStats)
+          else graft.stats.RandomSlope.estimates(slopeStats)
         val cutoffs = cutoffsFor(slopeEst, olsFits)
         withResid0
           .join(broadcast(slopeEst), Seq("__key"), "left")

@@ -103,6 +103,166 @@ object RandomSlope {
       col("k_subjects"), col("k3"), col("n_rows"))
   }
 
+  /** One design class for exact REML: k subjects sharing the 2×2
+    * within-subject design A = TᵀT = [[n, st],[st, stt]], with the
+    * class-summed data moments Σw (w = Tᵀr), Σwwᵀ, and Σrᵀr. Subjects
+    * with the same design are interchangeable in the likelihood (their
+    * V-dependent weights coincide), so collapsing to this grain bounds
+    * the collected frame by DISTINCT designs, not subjects — balanced
+    * panels collapse to a handful of rows (the VarComp.sizeStats
+    * precedent, generalized from nᵢ to (nᵢ, Σt, Σt²)). */
+  final case class DesignClass(n: Long, st: Double, stt: Double, k: Long,
+      sw0: Double, sw1: Double, sww00: Double, sww01: Double, sww11: Double,
+      sq: Double)
+
+  /** Exact REML for the intercept+slope model on residuals,
+    * rᵢ ~ N(Tᵢδ, σ²ₑI + Tᵢ G Tᵢᵀ) with unstructured 2×2 G — the
+    * `slopeMethod = reml` counterpart of the Swamy two-stage `estimates`
+    * (PROC MIXED `random INTERCEPT t / type=UN` default method parity,
+    * longitudinalPlot.sas:436-440). δ is a 2-vector fixed effect kept on
+    * the residuals (≈ 0 by construction) so the restricted likelihood has
+    * the standard X'V⁻¹X correction — the same convention as
+    * VarComp.remlFromSizeStats keeping μ.
+    *
+    * With G = LLᵀ (Cholesky, PSD by construction) and per class
+    * D = σ²I₂ + LᵀAL, C = L D⁻¹ Lᵀ:
+    *   Σ log|Vᵢ|    = Σ k·(n·log σ² + log(det D / σ⁴))
+    *   Σ rᵀV⁻¹r     = σ⁻²(Σq − tr(C·Σwwᵀ))
+    *   M = ΣTᵀV⁻¹T  = σ⁻² Σ k·(A − A C A),  m = ΣTᵀV⁻¹r = σ⁻²(I − AC)Σw
+    *   −2l_R = Σ log|Vᵢ| + log det M + (Σ rᵀV⁻¹r − δ̂ᵀm),  δ̂ = M⁻¹m
+    * minimized by deterministic Nelder–Mead over (log σ², l00, l10, l11),
+    * initialized at the Swamy MoM solution. Unlike the two-stage method,
+    * ALL subjects enter the likelihood (nᵢ < 3 subjects still inform
+    * g00 + σ² — PROC MIXED semantics); k3 reports the informative count
+    * for schema parity with `estimates`.
+    */
+  def remlFromClasses(classes: Seq[DesignClass], mom: Array[Double]): Array[Double] = {
+    import org.apache.commons.math3.optim.nonlinear.scalar.noderiv.{NelderMeadSimplex, SimplexOptimizer}
+    import org.apache.commons.math3.optim.nonlinear.scalar.{GoalType, ObjectiveFunction}
+    import org.apache.commons.math3.optim.{InitialGuess, MaxEval, SimpleValueChecker}
+    // mom = Array(sigma_e2, g00, g01, g11) — the initial guess (NaN-safe).
+    def neg2lr(x: Array[Double]): Double = {
+      val s2 = math.exp(x(0))
+      val l00 = x(1); val l10 = x(2); val l11 = x(3)
+      // G = LL' entries
+      val g00 = l00 * l00; val g01 = l00 * l10; val g11 = l10 * l10 + l11 * l11
+      var logdet = 0.0; var quad = 0.0
+      var m00 = 0.0; var m01 = 0.0; var m11 = 0.0
+      var v0 = 0.0; var v1 = 0.0
+      classes.foreach { cl =>
+        val a00 = cl.n.toDouble; val a01 = cl.st; val a11 = cl.stt
+        // B = L'AL
+        val b00 = l00 * (a00 * l00 + a01 * l10) + l10 * (a01 * l00 + a11 * l10)
+        val b01 = l00 * (a00 * 0 + a01 * l11) + l10 * (a01 * 0 + a11 * l11)
+        val b11 = l11 * a11 * l11
+        // D = s2 I + B; C = L D^-1 L'
+        val d00 = s2 + b00; val d01 = b01; val d11 = s2 + b11
+        val detD = d00 * d11 - d01 * d01
+        if (detD <= 0) return Double.PositiveInfinity
+        val di00 = d11 / detD; val di01 = -d01 / detD; val di11 = d00 / detD
+        // C = L Dinv L' with L = [[l00,0],[l10,l11]]
+        val c00 = l00 * di00 * l00
+        val c01 = l00 * (di00 * l10 + di01 * l11)
+        val c11 = l10 * (di00 * l10 + di01 * l11) + l11 * (di01 * l10 + di11 * l11)
+        logdet += cl.k * (cl.n * math.log(s2) + math.log(detD / (s2 * s2)))
+        // quad: (sq - tr(C * Sww)) / s2
+        quad += (cl.sq - (c00 * cl.sww00 + 2 * c01 * cl.sww01 + c11 * cl.sww11)) / s2
+        // AC and A - A C A (symmetric)
+        val ac00 = a00 * c00 + a01 * c01; val ac01 = a00 * c01 + a01 * c11
+        val ac10 = a01 * c00 + a11 * c01; val ac11 = a01 * c01 + a11 * c11
+        val aca00 = ac00 * a00 + ac01 * a01
+        val aca01 = ac00 * a01 + ac01 * a11
+        val aca11 = ac10 * a01 + ac11 * a11
+        m00 += cl.k * (a00 - aca00) / s2
+        m01 += cl.k * (a01 - aca01) / s2
+        m11 += cl.k * (a11 - aca11) / s2
+        // (I - AC) Σw / s2
+        v0 += ((1 - ac00) * cl.sw0 - ac01 * cl.sw1) / s2
+        v1 += (-ac10 * cl.sw0 + (1 - ac11) * cl.sw1) / s2
+      }
+      val detM = m00 * m11 - m01 * m01
+      if (detM <= 0 || !java.lang.Double.isFinite(detM)) return Double.PositiveInfinity
+      val d0 = (m11 * v0 - m01 * v1) / detM
+      val d1 = (m00 * v1 - m01 * v0) / detM
+      val out = logdet + math.log(detM) + (quad - (d0 * v0 + d1 * v1))
+      if (java.lang.Double.isFinite(out)) out else Double.PositiveInfinity
+    }
+    val s2i = if (mom(0) > 0 && !mom(0).isNaN) mom(0) else 1.0
+    val eps = 1e-8 * s2i
+    val g00i = if (!mom(1).isNaN && mom(1) > eps) mom(1) else eps
+    val l00i = math.sqrt(g00i)
+    val l10i = if (!mom(2).isNaN) mom(2) / l00i else 0.0
+    val g11i = if (!mom(3).isNaN && mom(3) - l10i * l10i > eps) mom(3) - l10i * l10i else eps
+    val l11i = math.sqrt(g11i)
+    val x0 = Array(math.log(s2i), l00i, l10i, l11i)
+    val step0 = Array(0.3, math.max(0.1 * l00i, 1e-4), math.max(0.1 * math.abs(l10i), 1e-4),
+      math.max(0.1 * l11i, 1e-4))
+    // restarted Nelder–Mead: the likelihood is near-flat in G when the
+    // between-subject signal is weak (σ²_b ≪ σ²ₑ), where a single simplex
+    // run can collapse and trigger the value checker ~1e-3 short of the
+    // optimum (measured on the events fixture: one run stops at
+    // −2l_R + 1.7e-3 with g00 3% off). Re-seeding a FRESH simplex at the
+    // incumbent with shrinking steps is the standard deterministic fix.
+    var x = x0
+    var best = Double.PositiveInfinity
+    var r = 0
+    while (r < 3) {
+      val step = step0.map(s => s * math.pow(0.25, r))
+      val opt = new SimplexOptimizer(new SimpleValueChecker(1e-13, 1e-13))
+      val res = opt.optimize(new MaxEval(20000), new ObjectiveFunction(neg2lr _),
+        GoalType.MINIMIZE, new InitialGuess(x), new NelderMeadSimplex(step))
+      if (res.getValue < best) { best = res.getValue; x = res.getPoint }
+      r += 1
+    }
+    val s2 = math.exp(x(0))
+    val g00 = x(1) * x(1); val g01 = x(1) * x(2); val g11 = x(2) * x(2) + x(3) * x(3)
+    Array(s2, g00, g01, g11)
+  }
+
+  /** REML estimates per key, same output schema as `estimates` so the
+    * operators can swap methods (`LongitudinalOutlierCheck.method` with
+    * `slopeVar` set). Distributed collapse to the (key, design-class)
+    * grain, then a GUARDED collect (VarComp.MaxSizes distinct classes,
+    * not subjects) and driver-side REML per key, initialized at the
+    * distributed MoM solution. Scopes with < 2 informative subjects fall
+    * back to the MoM row (components unidentifiable either way). */
+  def remlEstimates(stats: DataFrame, keyCol: String = "__key"): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val momRows = estimates(stats, keyCol)
+      .select(col(keyCol).cast("string"), col("sigma_e2"), col("g00"), col("g01"),
+        col("g11"), col("k_subjects"), col("k3"), col("n_rows"))
+      .as[(String, Double, Double, Double, Double, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val classRows = stats.groupBy(col(keyCol).cast("string").as("__k"),
+        col("n"), col("st"), col("stt"))
+      .agg(count(lit(1)).as("k"),
+        sum("sr").as("sw0"), sum("srt").as("sw1"),
+        sum(col("sr") * col("sr")).as("sww00"),
+        sum(col("sr") * col("srt")).as("sww01"),
+        sum(col("srt") * col("srt")).as("sww11"),
+        sum("srr").as("sq"))
+      .limit(VarComp.MaxSizes + 1)
+      .as[(String, Long, Double, Double, Long, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    require(classRows.length <= VarComp.MaxSizes,
+      s"RandomSlope.remlEstimates: > ${VarComp.MaxSizes} distinct (key, design) " +
+        "classes; use method=mom (fully distributed) for this input")
+    val out = classRows.groupBy(_._1).toSeq.map { case (key, rs) =>
+      val (_, momS2, momG00, momG01, momG11, kSubj, k3, nRows) =
+        momRows.getOrElse(key, (key, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0L, 0L, 0L))
+      if (k3 < 2)
+        (key, momS2, momG00, momG01, momG11, kSubj, k3, nRows)
+      else {
+        val classes = rs.map(r =>
+          DesignClass(r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11)).toSeq
+        val e = remlFromClasses(classes, Array(momS2, momG00, momG01, momG11))
+        (key, e(0), e(1), e(2), e(3), kSubj, k3, nRows)
+      }
+    }
+    out.toDF(keyCol, "sigma_e2", "g00", "g01", "g11", "k_subjects", "k3", "n_rows")
+  }
+
   /** Marginal studentized residual: r / √(g00 + 2·g01·t + g11·t² + σ²_e)
     * — the diagonal of V for the intercept+slope model. NaN components or
     * a non-positive variance yield NULL, never NaN: Spark orders NaN above
