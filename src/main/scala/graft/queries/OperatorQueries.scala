@@ -5,9 +5,14 @@ import graft.operators._
 import graft.queries.QuerySpec.read
 import org.apache.spark.sql.functions._
 
-/** End-to-end check-operator queries (rows-only: p-values need distribution
-  * CDFs DuckDB lacks; the statistic arithmetic behind them is oracled by
-  * q17/q18/q23/q24/q25, and flags are golden-tested in ScalaTest).
+/** End-to-end check-operator queries. Most carry a full DuckDB oracle —
+  * including the tinv-cutoff flag families (q48/q50), whose t-quantiles the
+  * oracle reproduces via the Peiser large-ν series, and the FGLS chain
+  * (q59), which is closed-form in per-subject sufficient statistics. The
+  * remaining rows-only entries are genuinely not SQL-expressible: the
+  * Freeman–Halton enumeration (q47), KLL-sketch medians past the exact
+  * regime (q49), the REML optimizer (q56), and the T×T covariance inverse
+  * (q64) — each is py-oracled in tools/pyoracles.py instead.
   */
 object OperatorQueries {
 
@@ -29,7 +34,12 @@ object OperatorQueries {
       None),
 
     // M1-M3 end-to-end: GLM outlier flags per group (univariatePlot parity
-    // shape on TPC-H data: price ~ quantity within returnflag)
+    // shape on TPC-H data: price ~ quantity within returnflag). The DuckDB
+    // oracle reproduces the whole chain closed-form: simple-regression
+    // leverage/rstudent/cookd plus tinv(0.999, dfe−1) via the Peiser
+    // large-ν series (A&S 26.7.5, validated ≤3e-12 vs exact inversion at
+    // ν ≥ 500; min flag margin in the fixtures is ~1.3, so series error
+    // can never flip a flag).
     QuerySpec("q48_regression_outlier",
       (s, dir) => RegressionOutlier.verdicts(
         read(s, dir, "lineitem"),
@@ -38,7 +48,43 @@ object OperatorQueries {
           cutoffPct = 99.9, cookCutoff = Some(7.0)))
         .select("partition", "metric", "stat", "n_obs", "pass")
         .orderBy("partition"),
-      None),
+      Some("""WITH z AS (SELECT CAST(3.090232306167805 AS DOUBLE) AS z),
+             li AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+             s AS (SELECT g, x, y,
+                     count(*) OVER w AS n,
+                     avg(x) OVER w AS xbar, avg(y) OVER w AS ybar,
+                     sum(x*x) OVER w AS sx2, sum(x*y) OVER w AS sxy0,
+                     sum(y*y) OVER w AS sy2
+                   FROM li WINDOW w AS (PARTITION BY g)),
+             t AS (SELECT g, x, y, n, xbar, ybar,
+                     sx2 - n*xbar*xbar AS sxx, sxy0 - n*xbar*ybar AS sxy,
+                     sy2 - n*ybar*ybar AS syy FROM s),
+             u AS (SELECT g, n, CAST(n-2 AS DOUBLE) AS dfe,
+                     y - ybar - (sxy/sxx)*(x-xbar) AS e,
+                     1.0/n + (x-xbar)*(x-xbar)/sxx AS h,
+                     (syy - (sxy/sxx)*sxy)/(n-2) AS s2 FROM t),
+             v AS (SELECT g, n, dfe,
+                     (dfe*s2 - e*e/(1.0-h))/(dfe-1) AS s2i,
+                     e*e*h/(2*s2*(1.0-h)*(1.0-h)) AS cookd,
+                     e, h FROM u),
+             w AS (SELECT g, n, cookd,
+                     CASE WHEN s2i > 0 THEN e/sqrt(s2i*(1.0-h)) ELSE NULL END AS rstudent,
+                     z.z + ((pow(z.z,3)+z.z)/4)/(dfe-1)
+                         + ((5*pow(z.z,5)+16*pow(z.z,3)+3*z.z)/96)/pow(dfe-1,2)
+                         + ((3*pow(z.z,7)+19*pow(z.z,5)+17*pow(z.z,3)-15*z.z)/384)/pow(dfe-1,3)
+                         + ((79*pow(z.z,9)+776*pow(z.z,7)+1482*pow(z.z,5)-1920*pow(z.z,3)-945*z.z)/92160)/pow(dfe-1,4)
+                       AS cutoff
+                   FROM v CROSS JOIN z)
+             SELECT g AS partition, 'rstudent_outliers' AS metric,
+               CAST(sum(CASE WHEN rstudent IS NULL OR abs(rstudent) >= cutoff
+                              OR cookd > 7.0/n THEN 1 ELSE 0 END) AS DOUBLE) AS stat,
+               CAST(max(n) AS BIGINT) AS n_obs,
+               sum(CASE WHEN rstudent IS NULL OR abs(rstudent) >= cutoff
+                         OR cookd > 7.0/n THEN 1 ELSE 0 END) = 0 AS pass
+             FROM w GROUP BY g ORDER BY g""")),
 
     // M5-M6 end-to-end: Brown-Forsythe group-vs-rest with Holm
     QuerySpec("q49_group_variance",
@@ -51,13 +97,51 @@ object OperatorQueries {
       None),
 
     // M4 end-to-end: longitudinal within-subject outliers on the events
-    // stream table (user_id = subject)
+    // stream table (user_id = subject). The DuckDB oracle replays the full
+    // default-config chain closed-form: intercept-only residuals → MoM
+    // variance components (the q68-oracled arithmetic) → symmetric-root
+    // whitening r* = a·r + b·Σr → |r*| >= tinv(0.99, n−2) via the Peiser
+    // series (min flag margin ~1.7e-3 in the fixtures vs ≤3e-12 series
+    // error).
     QuerySpec("q50_longitudinal_outlier",
       (s, dir) => LongitudinalOutlier.verdicts(
         read(s, dir, "events"),
         LongitudinalOutlierCheck("lo", "value", "user_id", cutoffPct = 99))
         .select("partition", "metric", "stat", "n_obs", "pass"),
-      None),
+      Some("""WITH z AS (SELECT CAST(2.326347874040838 AS DOUBLE) AS z),
+             ev AS (SELECT user_id, CAST(value AS DOUBLE) AS y FROM events
+                    WHERE value IS NOT NULL),
+             g AS (SELECT count(*) AS n, avg(y) AS ybar FROM ev),
+             r AS (SELECT e.user_id, e.y - g.ybar AS r FROM ev e CROSS JOIN g),
+             subj AS (SELECT user_id, count(*) AS ni, sum(r) AS s, sum(r*r) AS ss
+                      FROM r GROUP BY 1),
+             a AS (SELECT sum(ni) AS n, count(*) AS k, sum(s) AS gs,
+                     sum(ss - s*s/ni) AS ssw,
+                     sum(ni * (s/ni) * (s/ni)) AS sgm2,
+                     sum(CAST(ni AS DOUBLE)*ni) AS sn2 FROM subj),
+             b AS (SELECT n, k, ssw/(n-k) AS msw,
+                     (sgm2 - gs*gs/n)/(k-1) AS msb,
+                     (n - sn2/n)/(k-1) AS n0 FROM a),
+             est AS (SELECT n, k, msw AS sigma_e2,
+                     greatest((msb - msw)/n0, 0.0) AS sigma_b2 FROM b),
+             cut AS (SELECT est.n, est.sigma_e2, est.sigma_b2,
+                       z.z + ((pow(z.z,3)+z.z)/4)/(est.n-2)
+                           + ((5*pow(z.z,5)+16*pow(z.z,3)+3*z.z)/96)/pow(est.n-2,2)
+                           + ((3*pow(z.z,7)+19*pow(z.z,5)+17*pow(z.z,3)-15*z.z)/384)/pow(est.n-2,3)
+                           + ((79*pow(z.z,9)+776*pow(z.z,7)+1482*pow(z.z,5)-1920*pow(z.z,3)-945*z.z)/92160)/pow(est.n-2,4)
+                         AS cutoff
+                     FROM est CROSS JOIN z),
+             sc AS (SELECT c.cutoff, c.n,
+                      (1.0/sqrt(c.sigma_e2)) * r.r
+                        + ((1.0/sqrt(c.sigma_e2 + subj.ni*c.sigma_b2)
+                            - 1.0/sqrt(c.sigma_e2))/subj.ni) * subj.s AS rscaled
+                    FROM r JOIN subj ON r.user_id IS NOT DISTINCT FROM subj.user_id
+                    CROSS JOIN cut c)
+             SELECT '' AS partition, 'longitudinal_outliers' AS metric,
+               CAST(sum(CASE WHEN abs(rscaled) >= cutoff THEN 1 ELSE 0 END) AS DOUBLE) AS stat,
+               CAST(max(n) AS BIGINT) AS n_obs,
+               sum(CASE WHEN abs(rscaled) >= cutoff THEN 1 ELSE 0 END) = 0 AS pass
+             FROM sc""")),
 
     // M4 REML path: exact profile REML variance components per scope
     // (PROC MIXED default method parity, longitudinalPlot.sas:423-442) —
@@ -306,7 +390,10 @@ object OperatorQueries {
     // M4 joint-estimation step: OLS vs feasible-GLS fixed effects (value ~
     // day, random intercept per user) — checked against an independent
     // DENSE textbook GLS (numpy per-subject V inversion) in the python
-    // oracle; the engine path never materializes any V
+    // oracle; the engine path never materializes any V. The DuckDB oracle
+    // additionally replays the whole sufficient-statistics chain: OLS β →
+    // MoM components → cᵢ = σ²_b/(σ²_e + nᵢσ²_b) → adjusted 2×2 normal
+    // equations solved closed-form (Fgls.refit's arithmetic exactly).
     QuerySpec("q59_fgls_model",
       (s, dir) => {
         // centered day index: raw epoch-days (~19723) are near-collinear
@@ -329,7 +416,50 @@ object OperatorQueries {
             round(col("sigma_e2"), 6).as("sigma_e2"),
             col("n_rows"))
       },
-      None),
+      Some("""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS subj,
+                      epoch(ts)/86400.0 - 19723.0 AS t, CAST(value AS DOUBLE) AS y
+                    FROM events
+                    WHERE value IS NOT NULL AND ts IS NOT NULL),
+             g AS (SELECT count(*) AS n, avg(t) AS tbar, avg(y) AS ybar,
+                     sum(t*t) AS stt, sum(t*y) AS sty, sum(t) AS st, sum(y) AS sy
+                   FROM ev),
+             ols AS (SELECT n, st, sy, stt, sty,
+                     (sty - n*tbar*ybar)/(stt - n*tbar*tbar) AS b1,
+                     ybar - (sty - n*tbar*ybar)/(stt - n*tbar*tbar)*tbar AS b0 FROM g),
+             r AS (SELECT e.subj, e.t, e.y, e.y - o.b0 - o.b1*e.t AS r
+                   FROM ev e CROSS JOIN ols o),
+             subj AS (SELECT subj, count(*) AS ni, sum(r) AS s, sum(r*r) AS ss,
+                        sum(t) AS sti, sum(y) AS syi
+                      FROM r GROUP BY 1),
+             a AS (SELECT sum(ni) AS n, count(*) AS k, sum(s) AS gs,
+                     sum(ss - s*s/ni) AS ssw, sum(ni*(s/ni)*(s/ni)) AS sgm2,
+                     sum(CAST(ni AS DOUBLE)*ni) AS sn2 FROM subj),
+             est AS (SELECT n, k, ssw/(n-k) AS sigma_e2,
+                     greatest(((sgm2 - gs*gs/n)/(k-1) - ssw/(n-k))
+                              /((n - sn2/n)/(k-1)), 0.0) AS sigma_b2
+                     FROM a),
+             wsum AS (SELECT sum(c*ni*ni) AS w00, sum(c*ni*sti) AS w01,
+                        sum(c*sti*sti) AS w11,
+                        sum(c*ni*syi) AS wy0, sum(c*sti*syi) AS wy1
+                      FROM (SELECT s.*,
+                              CASE WHEN e.sigma_e2 > 0 AND e.sigma_b2 >= 0
+                                THEN e.sigma_b2/(e.sigma_e2 + s.ni*e.sigma_b2)
+                                ELSE 0.0 END AS c
+                            FROM subj s CROSS JOIN est e)),
+             gls AS (SELECT o.n, o.b0, o.b1,
+                       (o.n - w.w00) AS a00, (o.st - w.w01) AS a01,
+                       (o.stt - w.w11) AS a11,
+                       (o.sy - w.wy0) AS c0, (o.sty - w.wy1) AS c1
+                     FROM ols o CROSS JOIN wsum w),
+             bet AS (SELECT n, b0, b1,
+                       (a11*c0 - a01*c1)/(a00*a11 - a01*a01) AS b0g,
+                       (a00*c1 - a01*c0)/(a00*a11 - a01*a01) AS b1g FROM gls)
+             SELECT '' AS partition,
+               round(b.b0, 6) AS b0_ols, round(b.b1, 6) AS b1_ols,
+               round(b.b0g, 6) AS b0_gls, round(b.b1g, 6) AS b1_gls,
+               round(e.sigma_b2, 6) AS sigma_b2, round(e.sigma_e2, 6) AS sigma_e2,
+               CAST(b.n AS BIGINT) AS n_rows
+             FROM bet b CROSS JOIN est e""")),
 
     // M1-M3 Cook's-D surface of the SAME RegressionOutlier operator as
     // q48, restricted to the SQL-expressible flag family: on a simple
@@ -481,6 +611,33 @@ object OperatorQueries {
                CAST(k3 AS BIGINT) AS k3, CAST(n_rows AS BIGINT) AS n_rows,
                (SELECT n_ge2 FROM cnt) AS n_ge2
              FROM est3""")),
+
+    // M4 random = INTERCEPT t, method = reml: exact REML for the
+    // unstructured 2×2 G (stats.RandomSlope.remlEstimates — guarded
+    // design-class collect + driver Nelder–Mead, the VarComp.remlEstimates
+    // pattern generalized from size classes to (n, Σt, Σt²) classes).
+    // Rows-only for the driver (the optimizer is not SQL-expressible);
+    // py-oracled against an independent DENSE-likelihood REML in
+    // tools/pyoracles.py (numpy V per subject, own Nelder–Mead).
+    QuerySpec("q69_slope_reml",
+      (s, dir) => {
+        val ev = read(s, dir, "events")
+          .withColumn("t_day",
+            col("ts").cast("timestamp_ltz").cast("double") / 86400.0 - 19723.0)
+        val d = OlsPass.design(ev, Seq("t_day"), Nil)
+        val fits = OlsPass.fitPerGroup(ev, "value", d, Nil)
+        val wr = OlsPass.rowStats(ev, "value", d, Nil, fits)
+        graft.stats.RandomSlope.remlEstimates(
+          graft.stats.RandomSlope.subjStats(
+            wr.withColumn("__subj", col("user_id").cast("string")),
+            "__key", "__subj", "t_day", "resid"))
+          .select(round(col("sigma_e2"), 6).as("sigma_e2"),
+            round(col("g00"), 6).as("g00"),
+            round(col("g01"), 6).as("g01"),
+            round(col("g11"), 6).as("g11"),
+            col("k3"), col("n_rows"))
+      },
+      None),
 
     // Exact-dup drop-list operator (keep-min-id policy)
     QuerySpec("q53_dedup_droplist",

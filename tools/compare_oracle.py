@@ -118,7 +118,7 @@ def compare_py(name, sdf, odf, opts):
                                atol=atol, equal_nan=True)
                     if pd.api.types.is_float_dtype(s) or pd.api.types.is_float_dtype(o)
                     else (s.astype(str) == o.astype(str)))
-            i = int(np.argmax(bad.to_numpy()))
+            i = int(np.argmax(np.asarray(bad)))
             print(f"FAIL {name}: column {c} differs at row {i}: "
                   f"spark={s.iloc[i]} py={o.iloc[i]}")
             return False

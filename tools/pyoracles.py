@@ -346,6 +346,118 @@ def q59_fgls_model(con, sf_dir):
         dict(keys=["partition"], rtol=1e-5, atol=1e-6))
 
 
+# ---------------------------------------------------------------- q69
+def _nelder_mead(f, x0, step, maxit=4000, tol=1e-13):
+    n = len(x0)
+    pts = [np.array(x0, float)]
+    for i in range(n):
+        pt = np.array(x0, float); pt[i] += step[i]; pts.append(pt)
+    vals = [f(pt) for pt in pts]
+    for _ in range(maxit):
+        idx = np.argsort(vals)
+        pts = [pts[i] for i in idx]; vals = [vals[i] for i in idx]
+        if abs(vals[-1] - vals[0]) < tol * (abs(vals[0]) + tol):
+            break
+        c = np.mean(pts[:-1], axis=0)
+        xr = c + (c - pts[-1]); fr = f(xr)
+        if fr < vals[0]:
+            xe = c + 2 * (c - pts[-1]); fe = f(xe)
+            if fe < fr: pts[-1], vals[-1] = xe, fe
+            else: pts[-1], vals[-1] = xr, fr
+        elif fr < vals[-2]:
+            pts[-1], vals[-1] = xr, fr
+        else:
+            xc = c + 0.5 * (pts[-1] - c); fc = f(xc)
+            if fc < vals[-1]: pts[-1], vals[-1] = xc, fc
+            else:
+                for i in range(1, n + 1):
+                    pts[i] = pts[0] + 0.5 * (pts[i] - pts[0]); vals[i] = f(pts[i])
+    return pts[int(np.argmin(vals))]
+
+
+def q69_slope_reml(con, sf_dir):
+    """Independent exact REML for the random intercept+slope model: builds
+    every subject's V = s2 I + T G T' DENSELY and uses numpy slogdet/inv —
+    no Woodbury identity, no design-class collapse — with its own
+    Nelder-Mead, so it shares no code path with RandomSlope.remlEstimates
+    beyond the model definition."""
+    ev = con.sql(
+        f"SELECT user_id, epoch(ts) / 86400.0 - 19723.0 AS t_day, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL AND ts IS NOT NULL").df()
+    y = ev.value.to_numpy(dtype=float)
+    X = np.column_stack([np.ones(len(ev)), ev.t_day.to_numpy(dtype=float)])
+    beta_ols, *_ = np.linalg.lstsq(X, y, rcond=None)
+    ev = ev.assign(r=y - X @ beta_ols)
+    subs = []
+    k3 = 0
+    for _, g in ev.groupby("user_id"):
+        t = g.t_day.to_numpy(dtype=float)
+        T = np.column_stack([np.ones(len(g)), t])
+        subs.append((T, g.r.to_numpy(dtype=float)))
+        n = len(g)
+        det = n * (t * t).sum() - t.sum() ** 2
+        if n >= 3 and det > 1e-12 * (abs(n * (t * t).sum()) + 1.0):
+            k3 += 1
+
+    def neg2lr(theta):
+        ls2, l00, l10, l11 = theta
+        s2 = np.exp(ls2)
+        L = np.array([[l00, 0.0], [l10, l11]])
+        G = L @ L.T
+        logdet = 0.0; quad = 0.0
+        M = np.zeros((2, 2)); m = np.zeros(2)
+        for T, r in subs:
+            V = s2 * np.eye(len(r)) + T @ G @ T.T
+            sign, ld = np.linalg.slogdet(V)
+            if sign <= 0:
+                return np.inf
+            Vi = np.linalg.inv(V)
+            logdet += ld
+            quad += r @ Vi @ r
+            M += T.T @ Vi @ T
+            m += T.T @ Vi @ r
+        sM, ldM = np.linalg.slogdet(M)
+        if sM <= 0:
+            return np.inf
+        d = np.linalg.solve(M, m)
+        out = logdet + ldM + quad - d @ m
+        return out if np.isfinite(out) else np.inf
+
+    # crude independent init: pooled within variance + per-subject coef spread
+    coefs = []
+    sse = 0.0; dfe = 0
+    for T, r in subs:
+        if len(r) >= 3:
+            A = T.T @ T
+            if np.linalg.det(A) > 1e-12 * (abs(A[0, 0] * A[1, 1]) + 1.0):
+                b = np.linalg.solve(A, T.T @ r)
+                coefs.append(b)
+                sse += r @ r - b @ (T.T @ r)
+                dfe += len(r) - 2
+    s2i = max(sse / max(dfe, 1), 1e-8)
+    C = np.atleast_2d(np.cov(np.array(coefs).T, ddof=1))
+    g00i = max(C[0, 0], 1e-8); g11i = max(C[1, 1], 1e-8)
+    l00i = math.sqrt(g00i); l10i = C[0, 1] / l00i
+    l11i = math.sqrt(max(g11i - l10i * l10i, 1e-8))
+    x0 = [math.log(s2i), l00i, l10i, l11i]
+    step0 = [0.3, max(0.1 * l00i, 1e-4), max(0.1 * abs(l10i), 1e-4),
+             max(0.1 * l11i, 1e-4)]
+    # restarted NM (fresh shrinking simplex at the incumbent): the
+    # likelihood is near-flat in G when sigma_b << sigma_e and a single
+    # simplex run stops short of the optimum
+    xb = x0
+    for r in range(3):
+        xb = _nelder_mead(neg2lr, xb, [st * 0.25 ** r for st in step0])
+    s2 = math.exp(xb[0])
+    g00 = xb[1] ** 2; g01 = xb[1] * xb[2]; g11 = xb[2] ** 2 + xb[3] ** 2
+    return (pd.DataFrame(
+        [[round(s2, 6), round(g00, 6), round(g01, 6), round(g11, 6),
+          k3, len(ev)]],
+        columns=["sigma_e2", "g00", "g01", "g11", "k3", "n_rows"]),
+        dict(keys=["n_rows"], rtol=1e-4, atol=1e-6))
+
+
 # ---------------------------------------------------------------- q64
 def q64_un_panel(con, sf_dir):
     """type=UN panel outliers: complete-case pooled residual covariance on
@@ -390,6 +502,7 @@ def q64_un_panel(con, sf_dir):
 
 
 PY_ORACLES = {
+    "q69_slope_reml": q69_slope_reml,
     "q64_un_panel": q64_un_panel,
     "q59_fgls_model": q59_fgls_model,
     "q31_simhash": q31_simhash,
