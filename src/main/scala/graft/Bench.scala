@@ -33,10 +33,29 @@ object Bench {
       case c => c.toString
     }
 
+  /** 1-minute load average — stamped into the JSON at start and end so a
+    * contended-host run self-documents (the round-4 bench was taken under
+    * background tenancy and read 1.3–6.6× inflated; cross-referencing
+    * load traces was the only way to tell). −1 if unreadable. */
+  private def loadavg1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** OS page-cache size (MB) — a cold/warm hint for the sf parquet scans:
+    * a near-zero cache after another tenant churned memory means the early
+    * queries pay disk reads a warm host would not. −1 if unreadable. */
+  private def pageCacheMb: Long =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("Cached:") =>
+        l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
+    catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "2000000").toLong
+    val loadStart = loadavg1
+    val cacheMbStart = pageCacheMb
     // NOTE: driver heap cannot be set from inside an already-running JVM —
     // size it at launch (sbt -mem / SBT_OPTS / .jvmopts), see BENCH/BASELINE.md
     val spark = SparkSession.builder()
@@ -106,7 +125,30 @@ object Bench {
     results("validation_suite_pages") = suiteSec
     val docsPerSec = nPages / suiteSec
 
+    // per-family breakdown over the SAME cached input: each model family
+    // and the near-dup check timed as its own suite run, so "the model
+    // families are ~7× the core" is a tracked number and a regression in
+    // one family localizes instead of hiding inside the full-suite total.
+    // (The full suite fuses shared passes, so these single-family runs sum
+    // to MORE than validation_suite_pages — they measure families, not
+    // partitions of the total.)
+    val breakdown = scala.collection.mutable.LinkedHashMap[String, Double]()
+    breakdown("core") = results("validation_suite_core")
+    val familyRuns: Seq[(String, Seq[graft.checks.Check])] =
+      Flagship.modelChecks.map(c => c.id -> Seq(c)) ++
+        Seq("near_dup" -> Flagship.dedupChecks)
+    familyRuns.foreach { case (name, cs) =>
+      breakdown(name) = time {
+        graft.engine.CacheTracker.scope {
+          Runner.run(pages, Flagship.suiteOf(spark, cs))
+            .unified.write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
+      .mkString("{", ",", "}")
+    val bd = breakdown.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -115,7 +157,9 @@ object Bench {
       s"""$nPages synthetic pages at local[$cpus], value=end-to-end seconds all queries+suite",""" +
       s""""value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""cpus":$cpus,"pages":$nPages,"suite_sec":${num(suiteSec, 3)},""" +
-      s""""docs_per_sec":${num(docsPerSec, 1)}}""")
+      s""""docs_per_sec":${num(docsPerSec, 1)},"suite_breakdown":$bd,""" +
+      s""""load_1m_start":${num(loadStart, 2)},"load_1m_end":${num(loadavg1, 2)},""" +
+      s""""page_cache_mb_start":$cacheMbStart,"page_cache_mb_end":$pageCacheMb}""")
     spark.stop()
   }
 }

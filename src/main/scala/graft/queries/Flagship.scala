@@ -59,6 +59,11 @@ object Flagship {
       NearDupCheck("near_dup_text", idCol = "url", textCol = "text",
         maxHamming = 3, maxDupFrac = 0.0))
 
+  /** Suite over an arbitrary check subset (the bench times family groups
+    * separately through this so regressions localize). */
+  def suiteOf(spark: SparkSession, checks: Seq[Check]): Runner.Suite =
+    mkSuite(spark, checks)
+
   private def mkSuite(spark: SparkSession, checks: Seq[Check]): Runner.Suite =
     Runner.Suite(checks,
       refTables = Map("hosts" -> Pages.hosts(spark)), keyCol = "url")
