@@ -28,7 +28,9 @@ object ScalingBench {
     val aqe = !sys.env.get("SPARK_GRAFT_AQE").contains("off")
     val cacheInput = !sys.env.get("SPARK_GRAFT_CACHE").contains("off")
 
-    def runOnce(cpus: Int, rows: Long = nPages): Double = {
+    def runOnce(cpus: Int, rows: Long = nPages,
+        suiteFor: SparkSession => graft.engine.Runner.Suite =
+          s => Flagship.scalingSuite(s)): Double = {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"graft-scaling-$cpus")
@@ -55,10 +57,36 @@ object ScalingBench {
         // scalingSuite = core + model families (round-3 verdict item 2);
         // the near-dup pair-generation shuffle is excluded so the proxy
         // stays scan-dominated — its row compute is in compute mode below
-        Runner.run(pages, Flagship.scalingSuite(spark))
+        Runner.run(pages, suiteFor(spark))
           .unified.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } finally spark.stop()
+    }
+
+    // families mode: time each suite family ALONE at the given core count
+    // and page count — the fixed-cost localizer. The 30 M-page round-5
+    // pair measured 0.549 efficiency while the 1 M-page warmups implied a
+    // ~440 s fixed cost at 32 cores vs ~140 s at 8 — a fixed cost that
+    // GROWS with cores sinks any feasible-size pair, so it must be
+    // attributed per family before it can be cut.
+    if (sys.env.get("SPARK_GRAFT_MODE").contains("families")) {
+      val fams: Seq[(String, SparkSession => graft.engine.Runner.Suite)] =
+        Seq("core" -> ((s: SparkSession) => Flagship.suiteOf(s, Flagship.coreChecks))) ++
+          Flagship.modelChecks.map(c =>
+            c.id -> ((s: SparkSession) => Flagship.suiteOf(s, Seq(c)))) :+
+          ("full" -> ((s: SparkSession) => Flagship.scalingSuite(s)))
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_ONESHOT", lo.toString).toInt
+      // JIT warmup on the full composition at small rows
+      val w = runOnce(cpus, math.min(nPages, 200000L))
+      println(f"[scaling] families warmup cores=$cpus suite=${w}%7.2f s")
+      (1 to reps).foreach { rep =>
+        fams.foreach { case (name, sf) =>
+          val sec = runOnce(cpus, nPages, sf)
+          println(f"[scaling] family=$name%-20s rep=$rep cores=$cpus%-3d " +
+            f"pages=$nPages sec=${sec}%8.2f")
+        }
+      }
+      return
     }
 
     // compute-only mode: a shuffle-free, fully-codegen'd row-level pass
