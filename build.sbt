@@ -27,4 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The default 240 MB JIT code cache FILLS under a multi-query Spark
+  // session (one whole-stage-codegen class per stage × ~200 stages in
+  // Bench): the compiler is then silently disabled and later queries run
+  // INTERPRETED — measured 2.2× suite inflation and "warm slower than
+  // cold" inversions before this was found (BENCH/BASELINE.md round 5).
+  // The reservation is virtual address space, not committed memory.
+  "-XX:ReservedCodeCacheSize=2g",
+  // Commit + pre-fault the heap up front: lazy first-touch page faulting
+  // of a large heap otherwise serializes inside the kernel mid-benchmark
+  // (measured 2.3× on a 96 GB heap leg — same baseline doc).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

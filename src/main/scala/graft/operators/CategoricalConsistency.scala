@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object CategoricalConsistency {
 
-  private def panelExpr(check: CategoricalConsistencyCheck) = check.dateCol match {
-    case Some(dc) => PanelBins.panel(col(dc), check.interval)
-    case None => lit("_ALL_")
+  // row-level panel key is the INT code; the label is rendered on the
+  // reduced counts frame (PanelBins.panelCode scaladoc has the rationale)
+  private def panelCodeExpr(check: CategoricalConsistencyCheck) = check.dateCol match {
+    case Some(dc) => PanelBins.panelCode(col(dc), check.interval)
+    case None => lit(-1)
   }
 
   /** This check's slice of the fused multi-family cell scan (CellScan):
@@ -38,7 +40,7 @@ object CategoricalConsistency {
     CellScan.Family(
       col(check.valueCol).isNotNull && col(check.groupCol).isNotNull,
       check.scope.map(s => s -> col(s)) ++ Seq(
-        "panel" -> panelExpr(check),
+        "panel" -> panelCodeExpr(check),
         "grp" -> col(check.groupCol),
         "value" -> col(check.valueCol)))
 
@@ -58,7 +60,7 @@ object CategoricalConsistency {
     // share this cache across separate calls.
     val counts = pre.getOrElse {
       df.filter(col(check.valueCol).isNotNull && col(check.groupCol).isNotNull)
-        .withColumn("panel", panelExpr(check))
+        .withColumn("panel", panelCodeExpr(check))
         .select((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
         .groupBy((keyCols :+ check.groupCol :+ check.valueCol).map(col): _*)
         .agg(count(lit(1)).as("cnt"))
@@ -66,13 +68,16 @@ object CategoricalConsistency {
         .withColumnRenamed(check.valueCol, "value")
         .trackedCache()
     }
+    // panel label rendering happens HERE, on the reduced frame — the scan
+    // grouped on the int panel code (no-op for caller-built string pres)
+    val countsR = PanelBins.renderPanelCol(counts, check.interval)
     // zero-fill shell: (panel × grp) ⨯ (panel × value) domains (J6).
     // Null-safe joins: null scope values and null panels (null dateCol)
     // form real groups that must keep their counts, not be dropped/zeroed
-    val grpDom = counts.select((keyCols :+ "grp").map(col): _*).distinct()
-    val valDom = counts.select((keyCols :+ "value").map(col): _*).distinct()
+    val grpDom = countsR.select((keyCols :+ "grp").map(col): _*).distinct()
+    val valDom = countsR.select((keyCols :+ "value").map(col): _*).distinct()
     val shell = NullSafeJoin(grpDom, valDom, keyCols)
-    val filled = NullSafeJoin.left(shell, counts, keyCols :+ "grp" :+ "value")
+    val filled = NullSafeJoin.left(shell, countsR, keyCols :+ "grp" :+ "value")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val wGrp = Window.partitionBy((keyCols :+ "grp").map(col): _*)
     val wVal = Window.partitionBy((keyCols :+ "value").map(col): _*)

@@ -43,23 +43,39 @@ object DigitPreference {
     val numdec = length(frac)
     val placeDecimals = math.max(0, -math.floor(math.log10(d)).toInt)
     if (placeDecimals == 0) raw.cast("int")
-    else when(numdec < placeDecimals && raw === 0, lit(-1)).otherwise(raw.cast("int")).cast("int")
+    // the sentinel test (DecimalFormat render + two regexes per row) can
+    // only fire when the raw digit is 0, so CaseWhen's lazy branch
+    // evaluation keeps the string machinery off the ~90% of rows with a
+    // non-zero digit — same values, ~10× less per-row formatting in the
+    // fused cell scan (JFR: DecimalFormat/regex were top-20 suite frames)
+    else when(raw =!= 0, raw.cast("int")).otherwise(
+      when(numdec < placeDecimals, lit(-1)).otherwise(lit(0))).cast("int")
   }
 
-  private def panelExpr(check: DigitPreferenceCheck) = check.dateCol match {
-    case Some(dc) => PanelBins.panel(col(dc), check.interval)
-    case None => lit("_ALL_")
+  // row-level panel key is the INT code; the label is rendered on the
+  // reduced counts frame (PanelBins.panelCode scaladoc has the rationale)
+  private def panelCodeExpr(check: DigitPreferenceCheck) = check.dateCol match {
+    case Some(dc) => PanelBins.panelCode(col(dc), check.interval)
+    case None => lit(-1)
   }
 
   /** This check's slice of the fused multi-family cell scan (CellScan):
-    * same filter + key derivations as the standalone counts pass below. */
+    * same filter + key derivations as the standalone counts pass below.
+    * Panel and group ride the scan in their NATIVE types (int code / raw
+    * column) — the per-row cast-to-string was ~2% of suite CPU. */
   def cellFamily(check: DigitPreferenceCheck): CellScan.Family =
     CellScan.Family(
       col(check.column).isNotNull && col(check.groupCol).isNotNull,
       check.scope.map(s => s -> col(s)) ++ Seq(
-        "panel" -> panelExpr(check),
-        "grp" -> col(check.groupCol).cast("string"),
+        "panel" -> panelCodeExpr(check),
+        "grp" -> col(check.groupCol),
         "digit" -> digitAt(col(check.column).cast("double"), check.place)))
+
+  /** Reduced-frame rendering of the scan-native keys back to the public
+    * (panel label, string group) shape every downstream stage consumes. */
+  private def rendered(counts: DataFrame, check: DigitPreferenceCheck): DataFrame =
+    PanelBins.renderPanelCol(counts, check.interval)
+      .withColumn("grp", col("grp").cast("string"))
 
   /** (scope, panel, grp, digit) counts with group totals — zero-filled over
     * the fixed digit domain −1..9 (DigitPref.sas:253-257).
@@ -71,15 +87,15 @@ object DigitPreference {
     val keyCols = check.scope :+ "panel" :+ "grp"
     // cached: ≤ 11 rows per (scope, panel, group); reused by the domain
     // shell, the tests and the violations lineages (one row-level pass)
-    val counts = pre.getOrElse {
+    val counts = rendered(pre.getOrElse {
       df.filter(col(check.column).isNotNull && col(check.groupCol).isNotNull)
-        .withColumn("panel", panelExpr(check))
-        .withColumn("grp", col(check.groupCol).cast("string"))
+        .withColumn("panel", panelCodeExpr(check))
+        .withColumn("grp", col(check.groupCol))
         .withColumn("digit", digitAt(col(check.column).cast("double"), check.place))
         .groupBy((keyCols :+ "digit").map(col): _*)
         .agg(count(lit(1)).as("cnt"))
         .trackedCache()
-    }
+    }, check)
     // fixed digit domain: explode literal array — no extra scan. Null-safe
     // fill join: null scope/panel groups keep their own counts
     val dom = counts.select(keyCols.map(col): _*).distinct()

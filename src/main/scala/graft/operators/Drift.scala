@@ -70,7 +70,9 @@ object Drift {
     CellScan.Family(
       v.isNotNull && !isnan(v),
       check.scope.map(s => s -> col(s)) ++ Seq(
-        "panel" -> PanelBins.panel(col(check.dateCol), check.interval),
+        // INT panel code at row level; the label is rendered on the reduced
+        // histogram frame (PanelBins.panelCode scaladoc has the rationale)
+        "panel" -> PanelBins.panelCode(col(check.dateCol), check.interval),
         "bin" -> binExpr(check, v, col(mnName), col(wName))))
   }
 
@@ -86,20 +88,22 @@ object Drift {
       val e = edges(df, check)
       base0
         .crossJoin(broadcast(e))
-        .withColumn("panel", PanelBins.panel(col(check.dateCol), check.interval))
+        .withColumn("panel", PanelBins.panelCode(col(check.dateCol), check.interval))
         .withColumn("bin", binExpr(check, v, col("__mn"), col("__w")))
         .groupBy((keyCols :+ "bin").map(col): _*)
         .agg(count(lit(1)).as("cnt"))
     }
+    // panel label rendering on the reduced frame (no-op for string pres)
+    val countsR = PanelBins.renderPanelCol(counts, check.interval)
     // zero-fill over the full bin domain per (scope, panel) — like the
     // categorical shell join (J6): a bin empty in one window but populated
     // in the rest must contribute its (0−e)²/e term, its mass to the KS
     // cumulatives, and its slot to df; without the fill, strong-drift
     // windows UNDER-flag (round-1 ADVICE fix). Null-safe: null scope /
     // panel groups must match their own counts, not be zeroed out.
-    val panelDom = counts.select(keyCols.map(col): _*).distinct()
+    val panelDom = countsR.select(keyCols.map(col): _*).distinct()
       .withColumn("bin", explode(lit((0 until check.bins).toArray)))
-    NullSafeJoin.left(panelDom, counts, keyCols :+ "bin")
+    NullSafeJoin.left(panelDom, countsR, keyCols :+ "bin")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .trackedCache() // windows × bins rows; tests + violations reuse one pass
   }

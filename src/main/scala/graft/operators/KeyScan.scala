@@ -51,14 +51,43 @@ object KeyScan {
     * filtered — same exactness argument as the unfused phase 2);
     * n_digests counts distinct full sha2-256 payload digests, so a
     * reported byte conflict is never a 64-bit-hash artifact. Cached —
-    * verdicts + violations of both checks reuse it. */
+    * verdicts + violations of both checks reuse it.
+    *
+    * Join strategy is picked HERE, not left to the static planner: the
+    * candidate frame is a filtered aggregate whose size Catalyst cannot
+    * estimate, so the static plan is a sort-merge semi-join that shuffles
+    * the ENTIRE input — and AQE materializes that exchange before it can
+    * convert the join (measured: a 5.7 GB full-table exchange at 30 M
+    * pages, the single most expensive stage in the suite). Phase 1 is
+    * cached, so counting it is cheap; when the candidate set is small
+    * (dup-rate bounded — the design point) it is broadcast and the big
+    * side never shuffles. The fallback for candidate sets past the
+    * threshold (spark.graft.broadcast.candidates.max, default 8M hashes
+    * = 64 MB) projects the fat payload down to its 32-byte sha2 digest
+    * BEFORE the exchange, so even the sort-merge path never shuffles
+    * payload bytes. */
   def phase2(df: DataFrame, keyCols: Seq[String], payloadCol: String,
-      p1: DataFrame): DataFrame =
-    df.withColumn("__kh", xxhash64(keyCols.map(col): _*))
-      .join(p1.select("__kh"), Seq("__kh"), "left_semi")
+      p1: DataFrame): DataFrame = {
+    val bcMax = df.sparkSession.conf
+      .get("spark.graft.broadcast.candidates.max", "8000000").toLong
+    val nCand = p1.count() // p1 is trackedCache'd — materialized once
+    val joined =
+      if (nCand <= bcMax)
+        df.withColumn("__kh", xxhash64(keyCols.map(col): _*))
+          .join(broadcast(p1.select("__kh")), Seq("__kh"), "left_semi")
+          .select(keyCols.map(col) :+
+            sha2(col(payloadCol).cast("binary"), 256).as("__dg"): _*)
+      else
+        df.select(keyCols.map(col) :+
+            sha2(col(payloadCol).cast("binary"), 256).as("__dg"): _*)
+          .withColumn("__kh", xxhash64(keyCols.map(col): _*))
+          .join(p1.select("__kh"), Seq("__kh"), "left_semi")
+          .drop("__kh")
+    joined
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("dup_count"),
-        countDistinct(sha2(col(payloadCol).cast("binary"), 256)).as("n_digests"))
+        countDistinct(col("__dg")).as("n_digests"))
       .filter(col("dup_count") > 1)
       .trackedCache()
+  }
 }

@@ -47,7 +47,10 @@ object UnPanelOutlier {
   def prepared(df: DataFrame, c: graft.checks.UnPanelCheck): (DataFrame, Config) =
     c.dateCol match {
       case Some(d) =>
-        (df.withColumn("__un_slot", PanelBins.panel(col(d), c.interval)),
+        // INT panel code, not the label: the slot is internal (dense index
+        // + ordering only — code order == label order) and the label build
+        // was per-row string work in the full scan
+        (df.withColumn("__un_slot", PanelBins.panelCode(col(d), c.interval)),
           Config(c.id, c.outcome, c.idCol, "__un_slot", c.scope, c.cutoffPct, c.severity))
       case None =>
         (df, Config(c.id, c.outcome, c.idCol, c.slotCol, c.scope, c.cutoffPct, c.severity))
@@ -65,10 +68,13 @@ object UnPanelOutlier {
   /** Complete-case panel with dense slot index and residuals from slot
     * means: one row per (key, subj, slot) with `__si`, `__r`, `__T`. */
   private[operators] def residualPanel(df: DataFrame, cfg: Config): DataFrame = {
+    // group by the NATIVE subject id; the public string form is rendered
+    // on the reduced one-row-per-(subj, slot) frame, not per input row
     val cell = keyed(df, cfg)
-      .groupBy(col("__key"), col(cfg.idCol).cast("string").as("__subj"),
+      .groupBy(col("__key"), col(cfg.idCol).as("__subjN"),
         col(cfg.slotCol).as("__slot"))
       .agg(avg(col(cfg.outcome).cast("double")).as("__y"))
+      .withColumn("__subj", col("__subjN").cast("string")).drop("__subjN")
     // slot domain per key (tiny: keys × T rows) with a dense 0-based index.
     // Inequality self-join instead of a window: with an empty scope the
     // "__key" partition column is a folded literal and Spark would plan an
