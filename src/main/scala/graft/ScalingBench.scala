@@ -54,6 +54,12 @@ object ScalingBench {
       spark.sparkContext.setLogLevel("ERROR")
       try {
         val pages = inputPath match {
+          // warmup calls pass rows < nPages: sample the stored scan down too
+          // (sample keeps the scan parallel; limit would funnel the warmup
+          // through one GlobalLimit partition), so a 120 M-page leg's
+          // untimed JIT warmup doesn't cost a full pass
+          case Some(p) if rows < nPages =>
+            spark.read.parquet(p).sample(rows.toDouble / nPages, seed = 7L)
           case Some(p) => spark.read.parquet(p)
           case None    => Pages.generate(spark, rows, numPartitions = cpus * 4)
         }

@@ -53,15 +53,27 @@ object TextFunctions {
 
   /** k-element MinHash signature (array<string>). Per-row, no shuffle.
     *
-    * Folds the shingle array ONCE, carrying the k running minima via
-    * `zip_with(least)` — the naive `array(minhash(sh, 0), …)` form
-    * re-evaluates the whole shingle construction (split + n-gram
-    * concat) k times per row, which dominated the LSH signature cost.
-    * Values are identical: per seed, min over shingles of
-    * md5(seed|shingle); an empty shingle array yields k nulls in both
-    * forms (aggregate keeps the null init; `least` skips nulls).
+    * Routed through the native `MinHashSignature` expression: the
+    * declarative fold below evaluates interpreted higher-order lambdas
+    * per shingle and allocates k md5 hex strings each time — measured
+    * ~4.3 ms·core per document at 30 M pages, the single most expensive
+    * per-row op in the engine (round-5 compute-scaling leg). The native
+    * pass produces byte-identical values (TextFunctionsSpec pins all
+    * three forms equal, including the empty-text → k-nulls case), so
+    * LSH bands, q28/q29 and their oracles are unchanged.
     */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    MinHashSignature.of(text, shingleN, k)
+
+  /** The declarative reference form of [[minhashSignature]] — folds the
+    * shingle array ONCE, carrying the k running minima via
+    * `zip_with(least)` (the naive `array(minhash(sh, 0), …)` form
+    * re-evaluates the whole shingle construction k times per row).
+    * Values: per seed, min over shingles of md5(seed|shingle); an empty
+    * shingle array yields k nulls (aggregate keeps the null init;
+    * `least` skips nulls). Kept builtin-only as the semantic spec the
+    * native expression is tested against. */
+  private[graft] def minhashSignatureFold(text: Column, shingleN: Int, k: Int): Column = {
     val sh = shingles(text, shingleN)
     val init = array_repeat(lit(null).cast("string"), k)
     aggregate(sh, init, (acc, s) =>

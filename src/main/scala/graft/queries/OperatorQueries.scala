@@ -639,6 +639,53 @@ object OperatorQueries {
       },
       None),
 
+    // DuckDB shadow of the q64 UN-panel family: with T = 2 slots the
+    // pooled Σ̂ is 2×2, its inverse is closed-form, and the χ²₂ quantile
+    // is −2·ln(1−p) — so the ENTIRE Mahalanobis scoring chain (complete-
+    // case panel → slot-mean residuals → pooled covariance → d² → flag)
+    // is SQL-expressible and hash-compared against DuckDB; only the T×T
+    // general inverse (q64) stays py-oracled. Slot = day-of-month parity
+    // (engine-agnostic, unlike dayofweek's origin convention).
+    QuerySpec("q70_un_panel_2slot",
+      (s, dir) => {
+        val ev = read(s, dir, "events")
+          .withColumn("par", pmod(dayofmonth(col("ts")), lit(2)))
+        UnPanelOutlier.scored(ev,
+          UnPanelOutlier.Config("un2", "value", "user_id", "par"))
+          .select(col("__subj").cast("long").as("user_id"),
+            round(col("d2"), 6).as("d2"),
+            round(col("cutoff"), 6).as("cutoff"),
+            col("t_slots"), col("k_subjects"), col("flag_outlier"))
+          .orderBy("user_id")
+      },
+      Some("""WITH cell AS (
+               SELECT user_id, CAST(extract(day FROM ts) % 2 AS INT) AS s,
+                      avg(value) AS y
+               FROM events GROUP BY 1, 2),
+             comp AS (SELECT user_id FROM cell GROUP BY 1 HAVING count(*) = 2),
+             pan AS (SELECT c.* FROM cell c JOIN comp USING (user_id)),
+             mu AS (SELECT s, avg(y) AS mu FROM pan GROUP BY 1),
+             r AS (SELECT p.user_id, p.s, p.y - m.mu AS r
+                   FROM pan p JOIN mu m USING (s)),
+             w AS (SELECT user_id,
+                     max(CASE WHEN s = 0 THEN r END) AS r0,
+                     max(CASE WHEN s = 1 THEN r END) AS r1
+                   FROM r GROUP BY 1),
+             sig AS (SELECT sum(r0*r0)/(count(*) - 1) AS a,
+                            sum(r0*r1)/(count(*) - 1) AS b,
+                            sum(r1*r1)/(count(*) - 1) AS c,
+                            count(*) AS k FROM w)
+             SELECT w.user_id,
+               round((sig.c*r0*r0 - 2*sig.b*r0*r1 + sig.a*r1*r1)
+                     / (sig.a*sig.c - sig.b*sig.b), 6) AS d2,
+               round(-2 * ln(1 - 0.99), 6) AS cutoff,
+               2 AS t_slots,
+               CAST(sig.k AS BIGINT) AS k_subjects,
+               (sig.c*r0*r0 - 2*sig.b*r0*r1 + sig.a*r1*r1)
+                 / (sig.a*sig.c - sig.b*sig.b) > -2 * ln(1 - 0.99)
+                 AS flag_outlier
+             FROM w CROSS JOIN sig ORDER BY user_id""")),
+
     // Exact-dup drop-list operator (keep-min-id policy)
     QuerySpec("q53_dedup_droplist",
       (s, dir) => {

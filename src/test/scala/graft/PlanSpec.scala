@@ -184,6 +184,24 @@ class PlanSpec extends SparkSpec {
     } finally sig.unpersist()
   }
 
+  test("keyscan phase 2 broadcasts the candidate set; the fat side never shuffles") {
+    graft.engine.CacheTracker.scope {
+      val pages = graft.sources.Pages.generate(spark, 2000)
+      val p1 = graft.operators.KeyScan.phase1(pages, Seq("url"), "text")
+      val p2 = graft.operators.KeyScan.phase2(pages, Seq("url"), "text", p1)
+      val p = plan(p2)
+      // static planning put a sort-merge semi-join here, whose full-table
+      // exchange (payload included) materialized BEFORE AQE could convert
+      // the join — the most expensive stage of the 30M-page suite legs
+      // (BENCH/BASELINE.md round 5). The candidate frame is counted and
+      // broadcast instead: no sort, no fat exchange.
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"phase-2 semi-join must broadcast the candidates:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"no sort-merge of the input against the tiny candidate set:\n${p.take(1200)}")
+    }
+  }
+
   test("un-panel scoring reads the CACHED residual panel (no double execution)") {
     import spark.implicits._
     graft.engine.CacheTracker.scope {

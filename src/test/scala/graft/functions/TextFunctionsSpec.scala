@@ -44,16 +44,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(s1 == s2 && s1.size == 4)
   }
 
-  test("single-fold signature equals the naive per-seed minhash form") {
-    // the optimized aggregate+zip_with fold must produce exactly the
-    // per-seed array_min values, including the empty-text → nulls case
+  test("native signature equals the fold and the naive per-seed minhash forms") {
+    // three implementations, one semantics: the native MinHashSignature
+    // expression (production path), the aggregate+zip_with fold, and the
+    // naive per-seed array_min — byte-identical on every edge the word/
+    // shingle pipeline has: short docs, empty text, all-space text, space
+    // runs, leading/trailing spaces, embedded tabs/newlines (NOT split —
+    // Spark trim/split are 0x20-only), unicode, and NULL text.
     val df = Seq("the quick brown fox jumps over the lazy dog",
-      "one two", "solo", "").toDF("t")
+      "one two", "solo", "", "   ", "  a   b  c ", "a\tb\nc d",
+      "héllo wörld déjà vu", null).toDF("t")
     val sh = TextFunctions.shingles($"t", 3)
     val naive = array((0 until 4).map(s => TextFunctions.minhash(sh, s)): _*)
-    val rows = df.select(TextFunctions.minhashSignature($"t", 3, 4).as("fast"),
+    val rows = df.select(TextFunctions.minhashSignature($"t", 3, 4).as("native"),
+      TextFunctions.minhashSignatureFold($"t", 3, 4).as("fold"),
       naive.as("naive")).collect()
-    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) {
+        assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+        assert(r.getSeq[String](0) == r.getSeq[String](2), r.toString)
+      }
+    }
   }
 
   test("identical texts share all minhashes; disjoint texts share none") {
