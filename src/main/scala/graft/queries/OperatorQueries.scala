@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * oracle reproduces via the Peiser large-ν series, and the FGLS chain
   * (q59), which is closed-form in per-subject sufficient statistics. The
   * remaining rows-only entries are genuinely not SQL-expressible: the
-  * Freeman–Halton enumeration (q47), KLL-sketch medians past the exact
-  * regime (q49), the REML optimizer (q56), and the T×T covariance inverse
-  * (q64) — each is py-oracled in tools/pyoracles.py instead.
+  * Freeman–Halton enumeration (q47), the F-CDF p-values + Holm on the BF
+  * chain (q49 — its median/whitening/F heart is DuckDB-shadowed by q71 in
+  * the KLL-exact regime), the REML optimizer (q56), and the T×T
+  * covariance inverse (q64, shadowed at T=2 by q70) — each is py-oracled
+  * in tools/pyoracles.py instead.
   */
 object OperatorQueries {
 
@@ -95,6 +97,71 @@ object OperatorQueries {
           round(col("p_holm"), 9).as("p_holm"))
         .orderBy("cmp"),
       None),
+
+    // DuckDB shadow of the q49 family: the SAME GroupVariance.tests chain
+    // (intercept-only residuals → MoM whitening with groups as subjects →
+    // per-side medians → one-vs-rest Brown–Forsythe F), scoped by ship
+    // year (7 scopes) so every (scope, side) holds well under
+    // GroupVariance.SketchK rows — the regime where the KLL sketches are
+    // EXACT, making the medians SQL-expressible: datasketches'
+    // getQuantile(0.5) (inclusive rank) and DuckDB's quantile_disc(0.5)
+    // both select the ⌈n/2⌉-th order statistic. Only the F p-value + Holm
+    // (incomplete-beta CDF) stay outside SQL, so q49 itself remains
+    // py-oracled while this query hash-checks the distributed heart of
+    // the operator against DuckDB.
+    QuerySpec("q71_bf_vs_rest",
+      (s, dir) => GroupVariance.tests(
+        read(s, dir, "lineitem")
+          .withColumn("ship_year", year(col("l_shipdate"))),
+        GroupVarianceCheck("bf71", "l_quantity", "l_returnflag",
+          scope = Seq("ship_year")))
+        .select(col("__key").as("scope"), col("cmp"),
+          col("n").cast("long").as("n"), round(col("stat"), 6).as("f_stat"))
+        .orderBy("scope", "cmp"),
+      Some("""WITH li AS (
+               SELECT CAST(CAST(extract(year FROM l_shipdate) AS INT) AS VARCHAR) AS k,
+                      CAST(l_returnflag AS VARCHAR) AS g,
+                      CAST(l_quantity AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+             m AS (SELECT k, avg(y) AS ybar FROM li GROUP BY 1),
+             r AS (SELECT li.k, li.g, li.y - m.ybar AS r
+                   FROM li JOIN m USING (k)),
+             subj AS (SELECT k, g, count(*) AS ni, sum(r) AS s, sum(r*r) AS ss
+                      FROM r GROUP BY 1, 2),
+             a AS (SELECT k, sum(ni) AS n, count(*) AS kk, sum(s) AS gs,
+                     sum(ss - s*s/ni) AS sswc,
+                     sum(ni * (s/ni) * (s/ni)) AS sgm2,
+                     sum(CAST(ni AS DOUBLE)*ni) AS sn2 FROM subj GROUP BY 1),
+             b AS (SELECT k, sswc/(n-kk) AS msw,
+                     (sgm2 - gs*gs/n)/(kk-1) AS msb,
+                     (n - sn2/n)/(kk-1) AS n0 FROM a),
+             est AS (SELECT k, msw AS se2,
+                       greatest((msb - msw)/n0, 0.0) AS sb2 FROM b),
+             sc AS (SELECT r.k, r.g,
+                      (1.0/sqrt(e.se2)) * r.r
+                        + ((1.0/sqrt(e.se2 + subj.ni*e.sb2)
+                            - 1.0/sqrt(e.se2))/subj.ni) * subj.s AS rs
+                    FROM r JOIN subj ON r.k = subj.k AND r.g = subj.g
+                    JOIN est e ON r.k = e.k),
+             dom AS (SELECT DISTINCT k, g AS cmp FROM sc),
+             zz AS (SELECT d.k, d.cmp,
+                      CASE WHEN sc.g = d.cmp THEN 1 ELSE 0 END AS side, sc.rs
+                    FROM sc JOIN dom d ON sc.k = d.k),
+             med AS (SELECT k, cmp, side, quantile_disc(rs, 0.5) AS med
+                     FROM zz GROUP BY 1, 2, 3),
+             z AS (SELECT zz.k, zz.cmp, zz.side, abs(zz.rs - med.med) AS z
+                   FROM zz JOIN med USING (k, cmp, side)),
+             st AS (SELECT k, cmp, side, count(*) AS ns, sum(z) AS sz,
+                      sum(z*z) AS szz
+                    FROM z GROUP BY 1, 2, 3),
+             f AS (SELECT k, cmp, sum(ns) AS n, sum(sz) AS szal,
+                     sum(szz) AS szzall,
+                     sum(ns * (sz/ns) * (sz/ns)) AS smm
+                   FROM st GROUP BY 1, 2)
+             SELECT k AS scope, cmp, CAST(n AS BIGINT) AS n,
+               round((smm - szal*szal/n) / ((szzall - smm)/(n-2)), 6) AS f_stat
+             FROM f ORDER BY scope, cmp""")),
 
     // M4 end-to-end: longitudinal within-subject outliers on the events
     // stream table (user_id = subject). The DuckDB oracle replays the full
@@ -618,7 +685,13 @@ object OperatorQueries {
     // pattern generalized from size classes to (n, Σt, Σt²) classes).
     // Rows-only for the driver (the optimizer is not SQL-expressible);
     // py-oracled against an independent DENSE-likelihood REML in
-    // tools/pyoracles.py (numpy V per subject, own Nelder–Mead).
+    // tools/pyoracles.py (numpy V per subject, own Nelder–Mead). The
+    // compared surface is (σ²ₑ, achieved −2l_R), NOT the raw G entries:
+    // when σ²_G ≪ σ²ₑ the likelihood is a flat ridge in G (sf0.01 events:
+    // two converged optimizers differ 3.4× in g00 at Δ(−2l_R) = 1.3e-3,
+    // against a G=0-to-optimum span of only 0.54), so ridge coordinates
+    // are not reproducible across independent optimizers while the
+    // objective value — the actual optimality claim — is.
     QuerySpec("q69_slope_reml",
       (s, dir) => {
         val ev = read(s, dir, "events")
@@ -627,14 +700,12 @@ object OperatorQueries {
         val d = OlsPass.design(ev, Seq("t_day"), Nil)
         val fits = OlsPass.fitPerGroup(ev, "value", d, Nil)
         val wr = OlsPass.rowStats(ev, "value", d, Nil, fits)
-        graft.stats.RandomSlope.remlEstimates(
+        graft.stats.RandomSlope.remlEstimatesWithObjective(
           graft.stats.RandomSlope.subjStats(
             wr.withColumn("__subj", col("user_id").cast("string")),
             "__key", "__subj", "t_day", "resid"))
           .select(round(col("sigma_e2"), 6).as("sigma_e2"),
-            round(col("g00"), 6).as("g00"),
-            round(col("g01"), 6).as("g01"),
-            round(col("g11"), 6).as("g11"),
+            round(col("neg2lr"), 4).as("neg2lr"),
             col("k3"), col("n_rows"))
       },
       None),

@@ -216,7 +216,7 @@ object RandomSlope {
     }
     val s2 = math.exp(x(0))
     val g00 = x(1) * x(1); val g01 = x(1) * x(2); val g11 = x(2) * x(2) + x(3) * x(3)
-    Array(s2, g00, g01, g11)
+    Array(s2, g00, g01, g11, best)
   }
 
   /** REML estimates per key, same output schema as `estimates` so the
@@ -226,7 +226,18 @@ object RandomSlope {
     * not subjects) and driver-side REML per key, initialized at the
     * distributed MoM solution. Scopes with < 2 informative subjects fall
     * back to the MoM row (components unidentifiable either way). */
-  def remlEstimates(stats: DataFrame, keyCol: String = "__key"): DataFrame = {
+  def remlEstimates(stats: DataFrame, keyCol: String = "__key"): DataFrame =
+    remlEstimatesWithObjective(stats, keyCol).drop("neg2lr")
+
+  /** `remlEstimates` plus the achieved restricted −2 log-likelihood
+    * (`neg2lr`, the dense-equivalent objective at the returned point;
+    * NaN on the MoM-fallback rows). Exposed because the G entries are
+    * only weakly identified when σ²_G ≪ σ²ₑ — on the sf0.01 events
+    * fixture two converged optimizers differ 3.4× in g00 while their
+    * −2l_R differs by 1.3e-3 against a G=0-to-optimum span of just 0.54
+    * — so optimality oracles (q69) must compare the OBJECTIVE, not ridge
+    * coordinates. */
+  def remlEstimatesWithObjective(stats: DataFrame, keyCol: String = "__key"): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
     val momRows = estimates(stats, keyCol)
@@ -252,15 +263,15 @@ object RandomSlope {
       val (_, momS2, momG00, momG01, momG11, kSubj, k3, nRows) =
         momRows.getOrElse(key, (key, Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0L, 0L, 0L))
       if (k3 < 2)
-        (key, momS2, momG00, momG01, momG11, kSubj, k3, nRows)
+        (key, momS2, momG00, momG01, momG11, Double.NaN, kSubj, k3, nRows)
       else {
         val classes = rs.map(r =>
           DesignClass(r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11)).toSeq
         val e = remlFromClasses(classes, Array(momS2, momG00, momG01, momG11))
-        (key, e(0), e(1), e(2), e(3), kSubj, k3, nRows)
+        (key, e(0), e(1), e(2), e(3), e(4), kSubj, k3, nRows)
       }
     }
-    out.toDF(keyCol, "sigma_e2", "g00", "g01", "g11", "k_subjects", "k3", "n_rows")
+    out.toDF(keyCol, "sigma_e2", "g00", "g01", "g11", "neg2lr", "k_subjects", "k3", "n_rows")
   }
 
   /** Marginal studentized residual: r / √(g00 + 2·g01·t + g11·t² + σ²_e)

@@ -450,12 +450,19 @@ def q69_slope_reml(con, sf_dir):
     for r in range(3):
         xb = _nelder_mead(neg2lr, xb, [st * 0.25 ** r for st in step0])
     s2 = math.exp(xb[0])
-    g00 = xb[1] ** 2; g01 = xb[1] * xb[2]; g11 = xb[2] ** 2 + xb[3] ** 2
+    # Compared surface: (sigma_e2, achieved -2l_R) — NOT the raw G
+    # entries. When sigma_G << sigma_e the restricted likelihood is a
+    # flat ridge in G (sf0.01 events: this oracle and the engine's
+    # optimizer differ 3.4x in g00 while their -2l_R differ by 1.3e-3,
+    # against a G=0-to-optimum span of only 0.54), so independent
+    # optimizers cannot be expected to agree on ridge COORDINATES; the
+    # objective value is the optimality claim and IS reproducible. The
+    # atol=0.05 on -2l_R is ~10x the two optimizers' convergence noise
+    # and ~10x below the do-nothing (G=0) gap.
     return (pd.DataFrame(
-        [[round(s2, 6), round(g00, 6), round(g01, 6), round(g11, 6),
-          k3, len(ev)]],
-        columns=["sigma_e2", "g00", "g01", "g11", "k3", "n_rows"]),
-        dict(keys=["n_rows"], rtol=1e-4, atol=1e-6))
+        [[round(s2, 6), round(neg2lr(xb), 4), k3, len(ev)]],
+        columns=["sigma_e2", "neg2lr", "k3", "n_rows"]),
+        dict(keys=["n_rows"], rtol=1e-7, atol=0.05))
 
 
 # ---------------------------------------------------------------- q64
