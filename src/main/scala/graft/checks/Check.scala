@@ -179,7 +179,18 @@ final case class LongitudinalOutlierCheck(
       * unstructured 2×2 G by the Swamy-type two-stage MoM
       * (stats.RandomSlope); flags use the marginal studentized residual
       * r/√V_jj. None (default) keeps the random-intercept model. */
-    slopeVar: Option[String] = None) extends Check
+    slopeVar: Option[String] = None,
+    /** Full multi-term `random=` surface: random INTERCEPT + every listed
+      * (numeric) column per subject with unstructured (q×q) G — the
+      * reference's arbitrary term-list form (`random &random / type=&type`,
+      * longitudinalPlot.sas:436-440) beyond the intercept(+slope) special
+      * cases. Estimated by the generalized Swamy two-stage MoM
+      * (stats.RandomEffects — fully distributed, q×q solves only on
+      * reduced frames, PSD eigen-clamp); flags use the marginal
+      * studentized residual r/√(t'Ĝt + σ²ₑ). Mutually exclusive with
+      * `slopeVar` (which stays the oracled q = 2 fast path); `method` is
+      * normalized to "mom" (exact REML is available only for q ≤ 2). */
+    randomTerms: Seq[String] = Nil) extends Check
 
 /** Unstructured-covariance panel outlier — the PROC MIXED
   * `repeated <slot> / subject=<id> type=UN` surface of

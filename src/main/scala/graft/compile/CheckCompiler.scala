@@ -61,7 +61,8 @@ object CheckCompiler {
     case c: RegressionOutlierCheck =>
       Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
     case c: LongitudinalOutlierCheck =>
-      Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++ c.scope
+      Seq(c.outcome, c.idCol) ++ c.discCovariates ++ c.contCovariates ++
+        c.randomTerms ++ c.slopeVar.toSeq ++ c.scope
     case c: UnPanelCheck =>
       Seq(c.outcome, c.idCol) ++
         (if (c.slotCol.nonEmpty) Seq(c.slotCol) else Nil) ++ c.dateCol.toSeq ++ c.scope
@@ -92,7 +93,7 @@ object CheckCompiler {
         numeric = c.outcome +: c.contCovariates)
     case c: LongitudinalOutlierCheck =>
       colIssues(schema, c.id, referencedColumns(c),
-        numeric = c.outcome +: c.contCovariates)
+        numeric = (c.outcome +: c.contCovariates) ++ c.randomTerms ++ c.slopeVar.toSeq)
     case c: UnPanelCheck =>
       val slotIssue =
         if (c.slotCol.isEmpty && c.dateCol.isEmpty)
@@ -159,6 +160,22 @@ object CheckCompiler {
         }
         if (!Set("mom", "reml").contains(out.method.toLowerCase)) {
           warn("defaulted_param", s"method=${out.method} → mom"); out = out.copy(method = "mom")
+        }
+        if (out.randomTerms.nonEmpty && out.slopeVar.nonEmpty) {
+          // the general term list subsumes the q = 2 fast path; explicit wins
+          warn("defaulted_param", "slopeVar ignored: randomTerms set")
+          out = out.copy(slopeVar = None)
+        }
+        if (out.randomTerms.nonEmpty && out.method.equalsIgnoreCase("reml")) {
+          // exact REML exists for q <= 2 only (VarComp / RandomSlope);
+          // the general surface is MoM — the scale default either way
+          warn("defaulted_param", "method=reml unsupported with randomTerms → mom")
+          out = out.copy(method = "mom")
+        }
+        if (out.randomTerms.size > graft.stats.RandomEffects.MaxTerms) {
+          warn("defaulted_param",
+            s"randomTerms size ${out.randomTerms.size} > ${graft.stats.RandomEffects.MaxTerms} → truncated")
+          out = out.copy(randomTerms = out.randomTerms.take(graft.stats.RandomEffects.MaxTerms))
         }
         out
       case c: GroupVarianceCheck =>

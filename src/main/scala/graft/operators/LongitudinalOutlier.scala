@@ -82,6 +82,33 @@ object LongitudinalOutlier {
         k -> Distributions.tInv(check.cutoffPct / 100.0, f.dfe - 1, sasLowDfWorkaround = true)
       }.toDF("__key", "cutoff")
 
+    if (check.randomTerms.nonEmpty) {
+      // random = INTERCEPT x1 x2 … / type=UN — the general term-list
+      // surface (longitudinalPlot.sas:436-440). Same shape as the slopeVar
+      // branch with the 2×2 closed forms swapped for stats.RandomEffects'
+      // packed q×q two-stage MoM; flags from the marginal studentized
+      // residual against the broadcast per-scope (σ²ₑ, Ĝ).
+      val reStats = graft.stats.RandomEffects.subjStats(
+        withResid0.withColumn("__subj",
+          coalesce(col(check.idCol).cast("string"), lit("∅"))),
+        "__key", "__subj", check.randomTerms, "resid")
+      val reEst = graft.stats.RandomEffects.estimates(reStats, check.randomTerms.size)
+      val cutoffs = cutoffsFor(reEst, olsFits)
+      return withResid0
+        .join(broadcast(reEst), Seq("__key"), "left")
+        .join(broadcast(cutoffs), Seq("__key"), "left")
+        .withColumn("rscaled",
+          graft.stats.RandomEffects.scaledResidual(col("resid"), check.randomTerms))
+        .withColumn("cutoff", coalesce(col("cutoff"), lit(Double.NaN)))
+        // NaN guard as in both sibling branches: scaledResidual yields NULL
+        // (never NaN) on degenerate scopes, so the comparison nulls out and
+        // coalesce lands false instead of flag-storming.
+        .withColumn("flag_outlier",
+          coalesce(!col("cutoff").isNaN && !isnan(col("rscaled")) &&
+            abs(col("rscaled")) >= col("cutoff"), lit(false)))
+        .drop("sigma_e2", "g", "k3", "k_subjects", "n_rows")
+    }
+
     check.slopeVar match {
       case Some(tv) =>
         // random = INTERCEPT <var> (the reference's `random=`/`type=UN`

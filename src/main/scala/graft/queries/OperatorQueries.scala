@@ -710,6 +710,41 @@ object OperatorQueries {
       },
       None),
 
+    // M4 general `random=` term list: random INTERCEPT t t² / type=UN —
+    // the arbitrary-term surface (longitudinalPlot.sas:436-440) via the
+    // generalized Swamy two-stage MoM (stats.RandomEffects: packed q×q
+    // per-subject solves on the reduced frame, per-scope PSD eigen-clamp).
+    // Rows-only for the driver (a 3×3 adjugate chain is technically SQL
+    // but unreadable); py-oracled against an independent numpy dense
+    // two-stage computation (lstsq residuals, per-subject solve/inv,
+    // eigh clamp) in tools/pyoracles.py. Unlike the REML optimizers the
+    // Swamy estimate is closed-form deterministic arithmetic, so the G
+    // ENTRIES are directly comparable (no flat-ridge caveat).
+    QuerySpec("q72_random_effects",
+      (s, dir) => {
+        val ev = read(s, dir, "events")
+          .withColumn("t_day",
+            col("ts").cast("timestamp_ltz").cast("double") / 86400.0 - 19723.0)
+          .withColumn("t_day2", col("t_day") * col("t_day"))
+        val d = OlsPass.design(ev, Seq("t_day"), Nil)
+        val fits = OlsPass.fitPerGroup(ev, "value", d, Nil)
+        val wr = OlsPass.rowStats(ev, "value", d, Nil, fits)
+        val terms = Seq("t_day", "t_day2")
+        graft.stats.RandomEffects.estimates(
+          graft.stats.RandomEffects.subjStats(
+            wr.withColumn("__subj", col("user_id").cast("string")),
+            "__key", "__subj", terms, "resid"), terms.size)
+          .select(round(col("sigma_e2"), 6).as("sigma_e2"),
+            round(element_at(col("g"), 1), 9).as("g00"),
+            round(element_at(col("g"), 2), 9).as("g01"),
+            round(element_at(col("g"), 3), 9).as("g02"),
+            round(element_at(col("g"), 4), 9).as("g11"),
+            round(element_at(col("g"), 5), 9).as("g12"),
+            round(element_at(col("g"), 6), 9).as("g22"),
+            col("k3"), col("n_rows"))
+      },
+      None),
+
     // DuckDB shadow of the q64 UN-panel family: with T = 2 slots the
     // pooled Σ̂ is 2×2, its inverse is closed-form, and the χ²₂ quantile
     // is −2·ln(1−p) — so the ENTIRE Mahalanobis scoring chain (complete-

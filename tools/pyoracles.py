@@ -465,6 +465,62 @@ def q69_slope_reml(con, sf_dir):
         dict(keys=["n_rows"], rtol=1e-7, atol=0.05))
 
 
+# ---------------------------------------------------------------- q72
+def q72_random_effects(con, sf_dir):
+    """Independent dense generalized-Swamy MoM for random INTERCEPT t t^2
+    with unstructured 3x3 G: numpy lstsq fixed-effect residuals,
+    per-subject dense solve/inv, sample covariance of coefficients minus
+    the sampling-noise correction, PSD clamp via numpy.linalg.eigh - no
+    shared code with stats.RandomEffects beyond the model definition.
+    Unlike the REML oracles this is closed-form arithmetic, so the G
+    entries compare directly."""
+    ev = con.sql(
+        f"SELECT user_id, epoch(ts) / 86400.0 - 19723.0 AS t_day, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL AND ts IS NOT NULL").df()
+    y = ev.value.to_numpy(dtype=float)
+    Xf = np.column_stack([np.ones(len(ev)), ev.t_day.to_numpy(dtype=float)])
+    beta, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    ev = ev.assign(r=y - Xf @ beta)
+    q = 3
+    fits = []
+    n_rows = len(ev)
+    k_subj = 0
+    for _, g in ev.groupby("user_id"):
+        k_subj += 1
+        if len(g) <= q:
+            continue
+        t = g.t_day.to_numpy(dtype=float)
+        T = np.column_stack([np.ones(len(g)), t, t * t])
+        A = T.T @ T
+        # same relative pivot tolerance class as the engine's Cholesky
+        try:
+            L = np.linalg.cholesky(A)
+        except np.linalg.LinAlgError:
+            continue
+        if (np.diag(L) ** 2 <= 1e-12 * (np.abs(np.diag(A)) + 1.0)).any():
+            continue
+        r = g.r.to_numpy(dtype=float)
+        b = np.linalg.solve(A, T.T @ r)
+        fits.append((b, r @ r - b @ (T.T @ r), len(g) - q, np.linalg.inv(A)))
+    k3 = len(fits)
+    sigma_e2 = sum(f[1] for f in fits) / sum(f[2] for f in fits)
+    B = np.array([f[0] for f in fits])
+    S = np.cov(B.T, ddof=1)
+    Vbar = sum(f[3] for f in fits) / k3
+    graw = S - sigma_e2 * Vbar
+    w, V = np.linalg.eigh((graw + graw.T) / 2)
+    gpsd = (V * np.maximum(w, 0.0)) @ V.T
+    return (pd.DataFrame(
+        [[round(sigma_e2, 6),
+          round(gpsd[0, 0], 9), round(gpsd[0, 1], 9), round(gpsd[0, 2], 9),
+          round(gpsd[1, 1], 9), round(gpsd[1, 2], 9), round(gpsd[2, 2], 9),
+          k3, n_rows]],
+        columns=["sigma_e2", "g00", "g01", "g02", "g11", "g12", "g22",
+                 "k3", "n_rows"]),
+        dict(keys=["n_rows"], rtol=1e-5, atol=1e-9))
+
+
 # ---------------------------------------------------------------- q64
 def q64_un_panel(con, sf_dir):
     """type=UN panel outliers: complete-case pooled residual covariance on
@@ -510,6 +566,7 @@ def q64_un_panel(con, sf_dir):
 
 PY_ORACLES = {
     "q69_slope_reml": q69_slope_reml,
+    "q72_random_effects": q72_random_effects,
     "q64_un_panel": q64_un_panel,
     "q59_fgls_model": q59_fgls_model,
     "q31_simhash": q31_simhash,
