@@ -75,23 +75,25 @@ object UnPanelOutlier {
         col(cfg.slotCol).as("__slot"))
       .agg(avg(col(cfg.outcome).cast("double")).as("__y"))
       .withColumn("__subj", col("__subjN").cast("string")).drop("__subjN")
-    // slot domain per key (tiny: keys × T rows) with a dense 0-based index.
-    // Inequality self-join instead of a window: with an empty scope the
-    // "__key" partition column is a folded literal and Spark would plan an
-    // unpartitioned window (single-partition warning) — the self-join stays
-    // warning-free and the frame is ≤ MaxSlots rows per key anyway.
-    val slotDom = cell.select("__key", "__slot").distinct()
-    val slots = slotDom.alias("a")
-      .join(slotDom.alias("b"),
-        col("a.__key") === col("b.__key") && col("b.__slot") <= col("a.__slot"))
-      .groupBy(col("a.__key").as("__key"), col("a.__slot").as("__slot"))
-      .agg((count(lit(1)) - 1).cast("int").as("__si"))
-    val tPerKey = slots.groupBy("__key")
-      .agg(count(lit(1)).cast("int").as("__T"))
-      .filter(col("__T") <= UnCov.MaxSlots)
-    val cellIdx = cell
-      .join(broadcast(slots), Seq("__key", "__slot"))
-      .join(broadcast(tPerKey), Seq("__key"))
+    // slot domain per key with a dense 0-based index, in ONE reduced agg:
+    // distinct (key, slot) → per-key sorted slot array → posexplode. This
+    // replaced a distinct + T² inequality self-join + two groupBys (round-5
+    // stage-latency trim: the un-panel family's cost at bench scale was
+    // mostly fixed stage latency, BENCH/BASELINE.md) and it also degrades
+    // linearly on a hostile high-cardinality slot column — the self-join
+    // form went quadratic in T BEFORE the MaxSlots filter could drop the
+    // key, while collect_set holds ≤ T values per key and the filter runs
+    // on the array size. Slot count past MaxSlots → key excluded (same
+    // explicit policy as before).
+    val slotIdx = cell.select("__key", "__slot").distinct()
+      .groupBy("__key")
+      .agg(sort_array(collect_set(col("__slot"))).as("__slots"))
+      .filter(size(col("__slots")) <= UnCov.MaxSlots)
+      .select(col("__key"), size(col("__slots")).cast("int").as("__T"),
+        posexplode(col("__slots")))
+      .select(col("__key"), col("col").as("__slot"),
+        col("pos").cast("int").as("__si"), col("__T"))
+    val cellIdx = cell.join(broadcast(slotIdx), Seq("__key", "__slot"))
     // complete-case subjects: observed in every slot of their scope
     val completeSubj = cellIdx.groupBy("__key", "__subj")
       .agg(count(lit(1)).as("__ns"), first("__T").as("__t"))
