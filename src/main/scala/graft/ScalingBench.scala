@@ -42,10 +42,33 @@ object ScalingBench {
     def runOnce(cpus: Int, rows: Long = nPages,
         suiteFor: SparkSession => graft.engine.Runner.Suite =
           s => Flagship.scalingSuite(s)): Double = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER overrides the in-process local[N] master — the
+      // north rule's literal shape is N vs 4N EXECUTORS, and Spark's
+      // local-cluster[n, cores, memMB] master launches n real separate
+      // executor JVMs (own heaps, netty shuffle, serialized exchanges) on
+      // this box. `cpus` stays the TOTAL core count for throughput
+      // bookkeeping; executor JVMs need the graft classes on their own
+      // classpath (they do not inherit the driver's -cp), passed via
+      // SPARK_GRAFT_EXEC_CP.
+      val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+      val builder0 = SparkSession.builder()
+        .master(master)
         .appName(s"graft-scaling-$cpus")
         .config("spark.sql.shuffle.partitions", cpus)
+      // local-cluster legs MUST size the executor heap explicitly: the
+      // default spark.executor.memory=1g plus a forced -Xms in
+      // spark.executor.extraJavaOptions makes every executor JVM die at
+      // init (Xms > Xmx), and the standalone master relaunches it forever
+      // (campaign-10 post-mortem: 531k relaunches in 50 min, driver OOM).
+      // maxExecutorRetries turns that failure mode into a fast abort.
+      val builder1 =
+        if (!master.startsWith("local-cluster")) builder0
+        else builder0
+          .config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+          .config("spark.deploy.maxExecutorRetries", "5")
+      val spark = sys.env.get("SPARK_GRAFT_EXEC_CP")
+        .fold(builder1)(cp => builder1.config("spark.executor.extraClassPath", cp))
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.graft.cache.input", cacheInput)
         .config("spark.sql.session.timeZone", "UTC")
