@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * including the tinv-cutoff flag families (q48/q50), whose t-quantiles the
   * oracle reproduces via the Peiser large-ν series, and the FGLS chain
   * (q59), which is closed-form in per-subject sufficient statistics. The
-  * remaining rows-only entries are genuinely not SQL-expressible: the
-  * Freeman–Halton enumeration (q47), the F-CDF p-values + Holm on the BF
-  * chain (q49 — its median/whitening/F heart is DuckDB-shadowed by q71 in
-  * the KLL-exact regime), the REML optimizer (q56), and the T×T
-  * covariance inverse (q64, shadowed at T=2 by q70) — each is py-oracled
-  * in tools/pyoracles.py instead.
+  * remaining rows-only entries are genuinely not SQL-expressible, and
+  * each is BOTH py-oracled (tools/pyoracles.py) AND DuckDB-shadowed on
+  * the SQL-expressible heart of its chain: the Freeman–Halton network
+  * algorithm (q47 — shadowed by q74, which recomputes the full exact
+  * 2×3 tail in SQL), the F-CDF p-values + Holm on the BF chain (q49 —
+  * its median/whitening/F heart is shadowed by q71 in the KLL-exact
+  * regime), the REML argmin search (q56 — its objective −2l_R(λ) is
+  * recomputed point-by-point by q73), and the T×T covariance inverse
+  * (q64 — shadowed at T=2 by q70). Only the optimizer/DFS search loops
+  * themselves have no SQL form.
   */
 object OperatorQueries {
 
@@ -802,6 +806,118 @@ object OperatorQueries {
           .select("drop_id").orderBy("drop_id")
       },
       Some("""SELECT doc_id + 1000000 AS drop_id FROM documents
-             WHERE doc_id < 200 ORDER BY 1"""))
+             WHERE doc_id < 200 ORDER BY 1""")),
+
+    // DuckDB shadow of the q56 REML family: the PROFILED restricted
+    // −2 log-likelihood −2l_R(λ) is closed-form in the size-class sums
+    // (formula at stats.VarComp.remlFromSizeStats), so evaluating the
+    // production objective (VarComp.neg2lrProfile — the exact function
+    // the optimizer minimizes) at a FIXED λ grid is hash-comparable
+    // against a full SQL recomputation; only the argmin search itself
+    // (coarse log-λ scan + golden section) stays py-oracled via q56.
+    // Rounded to 2 decimals: the objective is O(N·log Q) ~ 1e5 and the
+    // engines sum the centered Q terms in different orders; any formula
+    // defect shifts the value by O(1)..O(1e3), far above the rounding.
+    QuerySpec("q73_reml_objective",
+      (s, dir) => {
+        import s.implicits._
+        val subj = read(s, dir, "events")
+          .withColumn("__key", lit("all"))
+          .groupBy(col("__key"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sum("value").as("s"),
+            sum(col("value") * col("value")).as("ss"))
+        val stats = graft.stats.VarComp.sizeStats(subj)
+          .select(col("n"), col("k"), col("sum_s"), col("sum_s2"), col("sum_ss"))
+          .as[(Long, Long, Double, Double, Double)].collect()
+          .map(r => graft.stats.VarComp.SizeStat(r._1, r._2, r._3, r._4, r._5))
+          .toSeq
+        Seq(0.0, 0.05, 0.25, 1.0, 4.0, 20.0)
+          .map(l => (l, graft.stats.VarComp.neg2lrProfile(stats, l)))
+          .toDF("lambda", "neg2lr")
+          .select(col("lambda"), round(col("neg2lr"), 2).as("neg2lr"))
+          .orderBy("lambda")
+      },
+      Some("""WITH subj AS (SELECT user_id, count(*) AS n,
+                      sum(value) AS s, sum(value*value) AS ss
+                    FROM events GROUP BY 1),
+             cls AS (SELECT n, count(*) AS k, sum(s) AS sum_s,
+                       sum(s*s) AS sum_s2, sum(ss) AS sum_ss
+                     FROM subj GROUP BY 1),
+             tot AS (SELECT sum(n*k) AS nn FROM cls),
+             grid AS (SELECT CAST(lambda AS DOUBLE) AS lambda
+                      FROM (VALUES (0.0),(0.05),(0.25),(1.0),(4.0),(20.0)) t(lambda)),
+             mu AS (SELECT g.lambda,
+                      sum(sum_s/(1+n*g.lambda)) / sum(n*k/(1+n*g.lambda)) AS mu,
+                      sum(n*k/(1+n*g.lambda)) AS swnk
+                    FROM cls CROSS JOIN grid g GROUP BY 1),
+             obj AS (SELECT m.lambda,
+                       sum( (sum_ss - 2*m.mu*sum_s + k*n*m.mu*m.mu)
+                          - m.lambda/(1+n*m.lambda)
+                            * (sum_s2 - 2*n*m.mu*sum_s
+                               + k*CAST(n AS DOUBLE)*n*m.mu*m.mu) ) AS q,
+                       sum(k*ln(1+n*m.lambda)) AS logdet,
+                       max(m.swnk) AS swnk
+                     FROM cls CROSS JOIN mu m GROUP BY 1)
+             SELECT o.lambda,
+               round((tot.nn - 1)*ln(o.q) + o.logdet + ln(o.swnk), 2) AS neg2lr
+             FROM obj o CROSS JOIN tot ORDER BY o.lambda""")),
+
+    // DuckDB shadow of the q47 Freeman–Halton family: on a 2×3 table the
+    // exact-test enumeration is two nested series (x1, x2 fix the whole
+    // table), so the FULL production path — one-vs-rest cells →
+    // conditional hypergeometric log-probabilities via lchoose → the
+    // p = Σ P(t) over tables with P(t) ≤ P_obs·(1+1e-7) tail, min 1 —
+    // is recomputed in SQL with lgamma and hash-compared at 6 decimals;
+    // the general 2×C DP/DFS network algorithm (q47) stays py-oracled.
+    // The fixture pins 3 sources × {en,de} so the table is genuinely
+    // 2×3 and within the exact-enumeration budget at every sf; test_used
+    // pins that the exact path (not the chisq fallback) produced p.
+    QuerySpec("q74_fisher_fh",
+      (s, dir) => {
+        val docs = read(s, dir, "documents")
+          .filter(col("lang").isin("en", "de") &&
+            col("source").isin("src0", "src1", "src2"))
+        CategoricalConsistency.tests(docs,
+          CategoricalConsistencyCheck("fh3", "source", "lang", test = "fisher"))
+          .select(col("grp"), round(col("p_raw"), 6).as("p_fh"),
+            col("test_used"))
+          .orderBy("grp")
+      },
+      Some("""WITH d AS (SELECT lang, source FROM documents
+                    WHERE lang IN ('en','de')
+                      AND source IN ('src0','src1','src2')),
+             cols AS (SELECT source, count(*) AS c FROM d GROUP BY 1),
+             grps AS (SELECT DISTINCT lang AS grp FROM d),
+             o0 AS (SELECT lang AS grp, source, count(*) AS x
+                    FROM d GROUP BY 1, 2),
+             obs AS (SELECT g.grp, c.source, c.c, coalesce(o.x, 0) AS x
+                     FROM grps g CROSS JOIN cols c
+                     LEFT JOIN o0 o ON o.grp = g.grp AND o.source = c.source),
+             m AS (SELECT grp, sum(x) AS r1, sum(c) AS n,
+                     sum(lgamma(c+1) - lgamma(x+1) - lgamma(c-x+1)) AS lpobs
+                   FROM obs GROUP BY 1),
+             ct AS (SELECT max(CASE WHEN source='src0' THEN c END) AS c1,
+                           max(CASE WHEN source='src1' THEN c END) AS c2,
+                           max(CASE WHEN source='src2' THEN c END) AS c3
+                    FROM cols),
+             enum AS (SELECT m.grp, m.r1, m.n, m.lpobs,
+                        ct.c1, ct.c2, ct.c3,
+                        a.v AS x1, b.v AS x2, m.r1 - a.v - b.v AS x3
+                      FROM m CROSS JOIN ct
+                      CROSS JOIN generate_series(0, 600) AS a(v)
+                      CROSS JOIN generate_series(0, 600) AS b(v)
+                      WHERE a.v <= ct.c1 AND b.v <= ct.c2
+                        AND m.r1 - a.v - b.v BETWEEN 0 AND ct.c3),
+             lp AS (SELECT grp, lpobs, n, r1,
+                      (lgamma(c1+1) - lgamma(x1+1) - lgamma(c1-x1+1))
+                    + (lgamma(c2+1) - lgamma(x2+1) - lgamma(c2-x2+1))
+                    + (lgamma(c3+1) - lgamma(x3+1) - lgamma(c3-x3+1)) AS lpt
+                    FROM enum)
+             SELECT grp,
+               round(least(1.0, sum(CASE WHEN lpt <= lpobs + ln(1.0000001)
+                   THEN exp(lpt - (lgamma(n+1) - lgamma(r1+1)
+                                   - lgamma(n-r1+1))) ELSE 0 END)), 6) AS p_fh,
+               'fisher' AS test_used
+             FROM lp GROUP BY grp ORDER BY grp"""))
   )
 }

@@ -127,6 +127,33 @@ object VarComp {
     * For balanced data this coincides with the ANOVA/MoM estimator when
     * MSB > MSW (classic equivalence) — property-tested.
     */
+  /** The profiled restricted −2 log-likelihood at λ = σ²_b/σ²ₑ over the
+    * size-class stats — the EXACT function the REML optimizer minimizes
+    * (formula in the `remlFromSizeStats` doc above). Public so the driver
+    * oracle can pin its arithmetic point-by-point against an independent
+    * closed-form recomputation (q73): the optimizer's argmin is not
+    * SQL-expressible, but the objective at fixed λ is. */
+  def neg2lrProfile(stats: Seq[SizeStat], lambda: Double): Double = {
+    val n = stats.map(s => s.n * s.k).sum
+    var swS = 0.0; var swNK = 0.0
+    stats.foreach { st =>
+      val w = 1.0 / (1.0 + st.n * lambda)
+      swS += w * st.sumS
+      swNK += w * st.n * st.k
+    }
+    val mu = if (swNK > 0) swS / swNK else 0.0
+    var q = 0.0; var logdet = 0.0
+    stats.foreach { st =>
+      val w = 1.0 / (1.0 + st.n * lambda)
+      val centered = st.sumSS - 2 * mu * st.sumS + st.k * st.n * mu * mu
+      val sq = st.sumS2 - 2 * st.n * mu * st.sumS + st.k * st.n.toDouble * st.n * mu * mu
+      q += centered - lambda * w * sq
+      logdet += st.k * math.log1p(st.n * lambda)
+    }
+    if (q <= 0) return Double.PositiveInfinity // numerically degenerate
+    (n - 1) * math.log(q) + logdet + math.log(swNK)
+  }
+
   def remlFromSizeStats(stats: Seq[SizeStat]): Estimate = {
     val k = stats.map(_.k).sum
     val n = stats.map(s => s.n * s.k).sum
@@ -146,25 +173,7 @@ object VarComp {
       val msw = (s.sumSS - s.sumS2 / s.n) / (n - 1)
       return Estimate(0.0, msw, k, n)
     }
-    def neg2lr(lambda: Double): Double = {
-      var swS = 0.0; var swNK = 0.0
-      stats.foreach { st =>
-        val w = 1.0 / (1.0 + st.n * lambda)
-        swS += w * st.sumS
-        swNK += w * st.n * st.k
-      }
-      val mu = if (swNK > 0) swS / swNK else 0.0
-      var q = 0.0; var logdet = 0.0
-      stats.foreach { st =>
-        val w = 1.0 / (1.0 + st.n * lambda)
-        val centered = st.sumSS - 2 * mu * st.sumS + st.k * st.n * mu * mu
-        val sq = st.sumS2 - 2 * st.n * mu * st.sumS + st.k * st.n.toDouble * st.n * mu * mu
-        q += centered - lambda * w * sq
-        logdet += st.k * math.log1p(st.n * lambda)
-      }
-      if (q <= 0) return Double.PositiveInfinity // numerically degenerate
-      (n - 1) * math.log(q) + logdet + math.log(swNK)
-    }
+    def neg2lr(lambda: Double): Double = neg2lrProfile(stats, lambda)
     // coarse scan over log λ (plus the boundary), then golden-section
     val grid = 0.0 +: (-90 to 90).map(t => math.exp(t / 5.0))
     val best = grid.minBy(neg2lr)
