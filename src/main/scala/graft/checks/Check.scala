@@ -188,8 +188,11 @@ final case class LongitudinalOutlierCheck(
       * (stats.RandomEffects — fully distributed, q×q solves only on
       * reduced frames, PSD eigen-clamp); flags use the marginal
       * studentized residual r/√(t'Ĝt + σ²ₑ). Mutually exclusive with
-      * `slopeVar` (which stays the oracled q = 2 fast path); `method` is
-      * normalized to "mom" (exact REML is available only for q ≤ 2). */
+      * `slopeVar` (which stays the oracled q = 2 fast path). With
+      * `method = "reml"`, exact q×q REML over guarded design classes
+      * (stats.RandomEffects.remlEstimates) up to
+      * RandomEffects.RemlMaxTerms terms; past that CheckCompiler
+      * normalizes back to "mom" (the scale default) with a warning. */
     randomTerms: Seq[String] = Nil) extends Check
 
 /** Unstructured-covariance panel outlier — the PROC MIXED

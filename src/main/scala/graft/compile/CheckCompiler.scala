@@ -166,10 +166,12 @@ object CheckCompiler {
           warn("defaulted_param", "slopeVar ignored: randomTerms set")
           out = out.copy(slopeVar = None)
         }
-        if (out.randomTerms.nonEmpty && out.method.equalsIgnoreCase("reml")) {
-          // exact REML exists for q <= 2 only (VarComp / RandomSlope);
-          // the general surface is MoM — the scale default either way
-          warn("defaulted_param", "method=reml unsupported with randomTerms → mom")
+        if (out.randomTerms.size > graft.stats.RandomEffects.RemlMaxTerms &&
+            out.method.equalsIgnoreCase("reml")) {
+          // exact REML's driver simplex is dependable to RemlMaxTerms
+          // (1 + q(q+1)/2 parameters); the MoM is the scale default
+          warn("defaulted_param",
+            s"method=reml capped at ${graft.stats.RandomEffects.RemlMaxTerms} randomTerms → mom")
           out = out.copy(method = "mom")
         }
         if (out.randomTerms.size > graft.stats.RandomEffects.MaxTerms) {

@@ -87,12 +87,18 @@ object LongitudinalOutlier {
       // surface (longitudinalPlot.sas:436-440). Same shape as the slopeVar
       // branch with the 2×2 closed forms swapped for stats.RandomEffects'
       // packed q×q two-stage MoM; flags from the marginal studentized
-      // residual against the broadcast per-scope (σ²ₑ, Ĝ).
+      // residual against the broadcast per-scope (σ²ₑ, Ĝ). method="reml"
+      // swaps in the exact q×q REML (guarded design-class collect,
+      // driver simplex — RandomEffects.remlEstimates; CheckCompiler caps
+      // it at RemlMaxTerms and normalizes to mom past that).
       val reStats = graft.stats.RandomEffects.subjStats(
         withResid0.withColumn("__subj",
           coalesce(col(check.idCol).cast("string"), lit("∅"))),
         "__key", "__subj", check.randomTerms, "resid")
-      val reEst = graft.stats.RandomEffects.estimates(reStats, check.randomTerms.size)
+      val reEst =
+        if (check.method.equalsIgnoreCase("reml"))
+          graft.stats.RandomEffects.remlEstimates(reStats, check.randomTerms.size)
+        else graft.stats.RandomEffects.estimates(reStats, check.randomTerms.size)
       val cutoffs = cutoffsFor(reEst, olsFits)
       return withResid0
         .join(broadcast(reEst), Seq("__key"), "left")

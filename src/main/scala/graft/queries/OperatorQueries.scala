@@ -918,6 +918,37 @@ object OperatorQueries {
                    THEN exp(lpt - (lgamma(n+1) - lgamma(r1+1)
                                    - lgamma(n-r1+1))) ELSE 0 END)), 6) AS p_fh,
                'fisher' AS test_used
-             FROM lp GROUP BY grp ORDER BY grp"""))
+             FROM lp GROUP BY grp ORDER BY grp""")),
+
+    // M4 general random= with method = reml: exact REML for the q×q
+    // unstructured G (stats.RandomEffects.remlEstimates — the RandomSlope
+    // Woodbury/Cholesky machinery generalized to bounded q×q dense ops
+    // over guarded (key, packed-T'T) design classes; closes the last
+    // SURVEY §7.6(1) deviation up to RemlMaxTerms). random INTERCEPT t t²
+    // here → q = 3, 7 simplex parameters. Rows-only for the driver;
+    // py-oracled against an independent DENSE-V numpy REML with its own
+    // Nelder–Mead (tools/pyoracles.py q75). Compared surface is
+    // (σ²ₑ, achieved −2l_R), NOT the G entries — the likelihood is a
+    // flat ridge in G when σ²_G ≪ σ²ₑ (see q69's measurement), so only
+    // the objective value is reproducible across independent optimizers.
+    QuerySpec("q75_random_effects_reml",
+      (s, dir) => {
+        val ev = read(s, dir, "events")
+          .withColumn("t_day",
+            col("ts").cast("timestamp_ltz").cast("double") / 86400.0 - 19723.0)
+          .withColumn("t_day2", col("t_day") * col("t_day"))
+        val d = OlsPass.design(ev, Seq("t_day"), Nil)
+        val fits = OlsPass.fitPerGroup(ev, "value", d, Nil)
+        val wr = OlsPass.rowStats(ev, "value", d, Nil, fits)
+        val terms = Seq("t_day", "t_day2")
+        graft.stats.RandomEffects.remlEstimatesWithObjective(
+          graft.stats.RandomEffects.subjStats(
+            wr.withColumn("__subj", col("user_id").cast("string")),
+            "__key", "__subj", terms, "resid"), terms.size)
+          .select(round(col("sigma_e2"), 6).as("sigma_e2"),
+            round(col("neg2lr"), 4).as("neg2lr"),
+            col("k3"), col("n_rows"))
+      },
+      None)
   )
 }

@@ -161,6 +161,119 @@ class RandomEffectsSpec extends SparkSpec {
     assert(det2 >= -1e-8 && det3 >= -1e-8, s"minors $det2 / $det3")
   }
 
+  /** In-spec dense restricted −2 log-likelihood: builds every subject's
+    * V = σ²I + T G T' as a FULL n×n matrix and evaluates by Gaussian
+    * elimination (log-det via the pivot product, explicit inverse) — no
+    * Woodbury identity, no design-class collapse, no shared code with
+    * `RandomEffects.remlFromClasses` beyond the model definition. */
+  private def denseNeg2lr(rows: Seq[(String, Double, Double)], s2: Double,
+      g: Seq[Double]): Double = {
+    val q = 3
+    def design(t: Double) = Array(1.0, t, t * t)
+    val gm = Array.tabulate(q, q)((a, b) =>
+      g(RandomEffects.triIdx(math.min(a, b), math.max(a, b), q)))
+    def luInvLogDet(a: Array[Array[Double]]): (Array[Array[Double]], Double) = {
+      val n = a.length
+      val m = a.map(_.clone)
+      val inv = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+      var logDet = 0.0
+      for (p <- 0 until n) {
+        val piv = (p until n).maxBy(r => math.abs(m(r)(p)))
+        if (piv != p) {
+          val t = m(p); m(p) = m(piv); m(piv) = t
+          val ti = inv(p); inv(p) = inv(piv); inv(piv) = ti
+          logDet += 0.0 // symmetric PD V: pivoting swaps cancel in |det|
+        }
+        logDet += math.log(math.abs(m(p)(p)))
+        val d = m(p)(p)
+        for (c <- 0 until n) { m(p)(c) /= d; inv(p)(c) /= d }
+        for (r <- 0 until n; if r != p) {
+          val f = m(r)(p)
+          if (f != 0.0)
+            for (c <- 0 until n) { m(r)(c) -= f * m(p)(c); inv(r)(c) -= f * inv(p)(c) }
+        }
+      }
+      (inv, logDet)
+    }
+    val bySubj = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var logdet = 0.0; var quad = 0.0
+    val mm = Array.ofDim[Double](q, q); val mv = new Array[Double](q)
+    bySubj.foreach { case (_, xs) =>
+      val n = xs.size
+      val ts = xs.map(r => design(r._2)).toArray
+      val rv = xs.map(_._3).toArray
+      val v = Array.tabulate(n, n) { (i, j) =>
+        var s = if (i == j) s2 else 0.0
+        for (a <- 0 until q; b <- 0 until q) s += ts(i)(a) * gm(a)(b) * ts(j)(b)
+        s
+      }
+      val (vi, ld) = luInvLogDet(v)
+      logdet += ld
+      for (i <- 0 until n; j <- 0 until n) {
+        quad += rv(i) * vi(i)(j) * rv(j)
+        for (a <- 0 until q) {
+          mv(a) += ts(i)(a) * vi(i)(j) * rv(j)
+          for (b <- 0 until q) mm(a)(b) += ts(i)(a) * vi(i)(j) * ts(j)(b)
+        }
+      }
+    }
+    // log det M + delta' m via the spec's Gaussian solver
+    def det3(m: Array[Array[Double]]): Double =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val (mi, _) = luInvLogDet(mm)
+    val delta = Array.tabulate(q)(a => (0 until q).map(b => mi(a)(b) * mv(b)).sum)
+    logdet + math.log(det3(mm)) + quad - (0 until q).map(a => delta(a) * mv(a)).sum
+  }
+
+  test("q = 2 REML reproduces RandomSlope.remlEstimates (objective parity)") {
+    val rows = quadRows(25, 7)
+    val df = rows.toDF("subj", "t", "r").withColumn("__key", lit("all"))
+    val rs = RandomSlope.remlEstimatesWithObjective(
+      RandomSlope.subjStats(df, "__key", "subj", "t", "r")).collect().head
+    val re = RandomEffects.remlEstimatesWithObjective(
+      RandomEffects.subjStats(df, "__key", "subj", Seq("t"), "r"), 1).collect().head
+    // the compared surface is the OBJECTIVE (the G ridge-coordinate
+    // caveat documented on RandomSlope.remlEstimatesWithObjective)
+    val o2 = rs.getAs[Double]("neg2lr"); val oq = re.getAs[Double]("neg2lr")
+    assert(math.abs(o2 - oq) < 1e-3 * (math.abs(o2) + 1.0), s"neg2lr $oq vs $o2")
+    assert(math.abs(re.getAs[Double]("sigma_e2") - rs.getAs[Double]("sigma_e2")) <
+      0.02 * rs.getAs[Double]("sigma_e2"))
+    assert(re.getAs[Long]("k3") == rs.getAs[Long]("k3"))
+  }
+
+  test("q = 3 REML: class objective ≡ dense likelihood, and no worse than MoM") {
+    val rows = quadRows(40, 11)
+    val df = rows.toDF("subj", "t", "r")
+      .withColumn("t2", col("t") * col("t")).withColumn("__key", lit("all"))
+    val stats = RandomEffects.subjStats(df, "__key", "subj", Seq("t", "t2"), "r")
+    val re = RandomEffects.remlEstimatesWithObjective(stats, 2).collect().head
+    val s2 = re.getAs[Double]("sigma_e2")
+    val g = re.getSeq[Double](re.fieldIndex("g"))
+    val obj = re.getAs[Double]("neg2lr")
+    // (a) the Woodbury/design-class objective agrees with a dense n×n
+    // evaluation at the returned point — pins the collapse algebra
+    val dense = denseNeg2lr(rows, s2, g)
+    assert(math.abs(dense - obj) < 1e-6 * (math.abs(dense) + 1.0), s"$obj vs dense $dense")
+    // (b) optimizer sanity: REML is no worse than its MoM start
+    val mom = RandomEffects.estimates(stats, 2).collect().head
+    val momObj = denseNeg2lr(rows, mom.getAs[Double]("sigma_e2"),
+      mom.getSeq[Double](mom.fieldIndex("g")))
+    assert(obj <= momObj + 1e-6, s"REML $obj worse than MoM start $momObj")
+  }
+
+  test("REML falls back to the MoM row when a scope has < 2 informative subjects") {
+    val rows = (1 to 6).map(t => ("solo", t.toDouble, t * 1.0))
+    val df = rows.toDF("subj", "t", "r")
+      .withColumn("t2", col("t") * col("t")).withColumn("__key", lit("all"))
+    val stats = RandomEffects.subjStats(df, "__key", "subj", Seq("t", "t2"), "r")
+    val re = RandomEffects.remlEstimatesWithObjective(stats, 2).collect().head
+    assert(re.getAs[Double]("neg2lr").isNaN)
+    assert(re.getAs[Double]("sigma_e2").isNaN)
+    assert(re.getAs[Long]("k3") < 2)
+  }
+
   test("flagged(randomTerms) flags the planted spike, degenerate scope flags nothing") {
     val rng = new scala.util.Random(17)
     val base = (1 to 30).flatMap { i =>

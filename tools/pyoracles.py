@@ -521,6 +521,106 @@ def q72_random_effects(con, sf_dir):
         dict(keys=["n_rows"], rtol=1e-5, atol=1e-9))
 
 
+# ---------------------------------------------------------------- q75
+def q75_random_effects_reml(con, sf_dir):
+    """Independent exact REML for random INTERCEPT t t^2 (unstructured
+    3x3 G): every subject's V = s2 I + T G T' built DENSELY with numpy
+    slogdet/inv — no Woodbury identity, no design-class collapse — and
+    minimized by this module's own Nelder-Mead over (log s2, packed
+    lower-tri L). Shares no code path with RandomEffects.remlEstimates
+    beyond the model definition. Compared surface is (sigma_e2, -2l_R):
+    the G ridge-coordinate caveat of q69 applies with 6 G parameters."""
+    ev = con.sql(
+        f"SELECT user_id, epoch(ts) / 86400.0 - 19723.0 AS t_day, value "
+        f"FROM '{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL AND ts IS NOT NULL").df()
+    y = ev.value.to_numpy(dtype=float)
+    Xf = np.column_stack([np.ones(len(ev)), ev.t_day.to_numpy(dtype=float)])
+    beta, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    ev = ev.assign(r=y - Xf @ beta)
+    q = 3
+    subs = []
+    fits = []
+    k3 = 0
+    for _, g in ev.groupby("user_id"):
+        t = g.t_day.to_numpy(dtype=float)
+        T = np.column_stack([np.ones(len(g)), t, t * t])
+        r = g.r.to_numpy(dtype=float)
+        subs.append((T, r))
+        if len(g) <= q:
+            continue
+        A = T.T @ T
+        try:
+            L = np.linalg.cholesky(A)
+        except np.linalg.LinAlgError:
+            continue
+        if (np.diag(L) ** 2 <= 1e-12 * (np.abs(np.diag(A)) + 1.0)).any():
+            continue
+        b = np.linalg.solve(A, T.T @ r)
+        fits.append((b, r @ r - b @ (T.T @ r), len(r) - q, np.linalg.inv(A)))
+        k3 += 1
+
+    def unpack(theta):
+        s2 = np.exp(theta[0])
+        L = np.zeros((q, q))
+        idx = 1
+        for a in range(q):
+            for b in range(a + 1):
+                L[a, b] = theta[idx]
+                idx += 1
+        return s2, L
+
+    def neg2lr(theta):
+        s2, L = unpack(theta)
+        G = L @ L.T
+        logdet = 0.0
+        quad = 0.0
+        M = np.zeros((q, q))
+        m = np.zeros(q)
+        for T, r in subs:
+            V = s2 * np.eye(len(r)) + T @ G @ T.T
+            sign, ld = np.linalg.slogdet(V)
+            if sign <= 0:
+                return np.inf
+            Vi = np.linalg.inv(V)
+            logdet += ld
+            quad += r @ Vi @ r
+            M += T.T @ Vi @ T
+            m += T.T @ Vi @ r
+        sM, ldM = np.linalg.slogdet(M)
+        if sM <= 0:
+            return np.inf
+        d = np.linalg.solve(M, m)
+        out = logdet + ldM + quad - d @ m
+        return out if np.isfinite(out) else np.inf
+
+    # independent init: dense Swamy fit (the q72 arithmetic) + PSD ridge
+    sigma_e2 = sum(f[1] for f in fits) / sum(f[2] for f in fits)
+    B = np.array([f[0] for f in fits])
+    S = np.cov(B.T, ddof=1)
+    Vbar = sum(f[3] for f in fits) / k3
+    graw = S - sigma_e2 * Vbar
+    w, V = np.linalg.eigh((graw + graw.T) / 2)
+    eps = 1e-8 * max(sigma_e2, 1e-8)
+    gpd = (V * np.maximum(w, eps)) @ V.T
+    L0 = np.linalg.cholesky(gpd)
+    x0 = [math.log(max(sigma_e2, 1e-8))]
+    step0 = [0.3]
+    for a in range(q):
+        for b in range(a + 1):
+            x0.append(L0[a, b])
+            step0.append(max(0.1 * abs(L0[a, b]), 1e-4))
+    xb = x0
+    for r in range(3):
+        xb = _nelder_mead(neg2lr, xb, [st * 0.25 ** r for st in step0],
+                          maxit=8000)
+    s2, _ = unpack(xb)
+    return (pd.DataFrame(
+        [[round(s2, 6), round(neg2lr(xb), 4), k3, len(ev)]],
+        columns=["sigma_e2", "neg2lr", "k3", "n_rows"]),
+        dict(keys=["n_rows"], rtol=1e-7, atol=0.05))
+
+
 # ---------------------------------------------------------------- q64
 def q64_un_panel(con, sf_dir):
     """type=UN panel outliers: complete-case pooled residual covariance on
@@ -567,6 +667,7 @@ def q64_un_panel(con, sf_dir):
 PY_ORACLES = {
     "q69_slope_reml": q69_slope_reml,
     "q72_random_effects": q72_random_effects,
+    "q75_random_effects_reml": q75_random_effects_reml,
     "q64_un_panel": q64_un_panel,
     "q59_fgls_model": q59_fgls_model,
     "q31_simhash": q31_simhash,
