@@ -327,6 +327,11 @@ object RandomEffects {
       }
       out
     }
+    // per-class dense A and Σww' are parameter-independent: build them
+    // ONCE, not inside every objective evaluation (the optimizer runs
+    // thousands of evaluations over up to MaxSizes classes)
+    val prepA = classes.map(cl => full(cl.tt)).toArray
+    val prepSww = classes.map(cl => full(cl.sww)).toArray
     def neg2lr(xpar: Array[Double]): Double = {
       val s2 = math.exp(xpar(0))
       // L lower-tri, row-major lower order: (a, b) with b ≤ a
@@ -341,7 +346,7 @@ object RandomEffects {
       var ci = 0
       while (ci < classes.length) {
         val cl = classes(ci)
-        val aMat = full(cl.tt)
+        val aMat = prepA(ci)
         val n = cl.tt(0) // intercept×intercept sum = subject row count
         val bMat = mul(lt, mul(aMat, lm)) // L'AL
         val dPacked = new Array[Double](u)
@@ -361,7 +366,7 @@ object RandomEffects {
         while (i < q) { logDetD += 2.0 * math.log(ld(i)(i)); i += 1 }
         val dInv = full(cholInverse(ld, q))
         val cMat = mul(lm, mul(dInv, lt)) // C = L D⁻¹ L'
-        val swwFull = full(cl.sww)
+        val swwFull = prepSww(ci)
         var tr = 0.0
         i = 0
         while (i < q) { var j = 0; while (j < q) { tr += cMat(i)(j) * swwFull(i)(j); j += 1 }; i += 1 }
