@@ -62,6 +62,19 @@ object Plans {
       Multimodal.syntheticPngUdf(col("id"), lit(16), lit(16)).as("bytes"))
     show("image decode feature pass (one scan; per-row decoder is the only UDF)")(
       Multimodal.decodeImages(imgs, "img_id", "bytes"))
+
+    // ---- round-5 lineages ----
+    val un = suite.checks.collectFirst { case c: graft.checks.UnPanelCheck => c }.get
+    val (unDf, unCfg) = UnPanelOutlier.prepared(pages, un)
+    show("type=UN panel scoring (round-5 collapsed slot-index chain)")(
+      UnPanelOutlier.scored(unDf, unCfg))
+    show("general random= flagging (RandomEffects packed q x q stats, MoM)")(
+      LongitudinalOutlier.flagged(
+        pages.withColumn("t_day",
+          col("warc_ts").cast("double") / 86400.0)
+          .withColumn("t_day2", col("t_day") * col("t_day")),
+        graft.checks.LongitudinalOutlierCheck("re_plan", "score", "host_id",
+          contCovariates = Seq("t_day"), randomTerms = Seq("t_day", "t_day2"))))
     spark.stop()
   }
 }
