@@ -263,6 +263,28 @@ class RandomEffectsSpec extends SparkSpec {
     assert(obj <= momObj + 1e-6, s"REML $obj worse than MoM start $momObj")
   }
 
+  test("multi-scope REML ≡ each scope alone (per-key class partitioning)") {
+    val rowsA = quadRows(20, 5)
+    val rowsB = quadRows(28, 23).map { case (s, t, r) => (s + "_b", t, r * 1.7 + 0.4) }
+    def statsOf(rows: Seq[(String, Double, Double)], key: String) = {
+      val df = rows.toDF("subj", "t", "r")
+        .withColumn("t2", col("t") * col("t")).withColumn("__key", lit(key))
+      RandomEffects.subjStats(df, "__key", "subj", Seq("t", "t2"), "r")
+    }
+    val joint = RandomEffects.remlEstimatesWithObjective(
+      statsOf(rowsA, "A").unionByName(statsOf(rowsB, "B")), 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((key, rows) <- Seq("A" -> rowsA, "B" -> rowsB)) {
+      val solo = RandomEffects.remlEstimatesWithObjective(statsOf(rows, key), 2)
+        .collect().head
+      val j = joint(key)
+      assert(math.abs(j.getAs[Double]("neg2lr") - solo.getAs[Double]("neg2lr")) <
+        1e-9 * (math.abs(solo.getAs[Double]("neg2lr")) + 1.0), s"scope $key objective")
+      assert(j.getAs[Double]("sigma_e2") == solo.getAs[Double]("sigma_e2"))
+      assert(j.getAs[Long]("k3") == solo.getAs[Long]("k3"))
+    }
+  }
+
   test("REML falls back to the MoM row when a scope has < 2 informative subjects") {
     val rows = (1 to 6).map(t => ("solo", t.toDouble, t * 1.0))
     val df = rows.toDF("subj", "t", "r")
