@@ -26,6 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle/spill scratch space: /tmp sits on the rootfs disk here while
+  // /dev/shm is tmpfs — the shuffle-heavy legs (near-dup pair generation)
+  // pay real disk I/O for scratch bytes a production node would put on
+  // fast local NVMe. Parameterised (SPARK_GRAFT_LOCAL_DIR) with the tmpfs
+  // default; the scaling campaigns (scripts/scaling_campaign*.sh) have
+  // always run with this setting, so it also aligns the driver bench with
+  // the recorded scaling evidence. Spark creates the directory on startup.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // The default 240 MB JIT code cache FILLS under a multi-query Spark
   // session (one whole-stage-codegen class per stage × ~200 stages in

@@ -42,7 +42,7 @@ case class SimHash64(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
+    val md = SimHash64.localMd5.get()
     var i = 0
     val n = arr.numElements()
     while (i < n) {
@@ -71,10 +71,81 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** SimHash64 fused with the whitespace tokenization — semantically
+  * identical to `SimHash64(words(text))` (SimHashSpec pins the equality),
+  * but one pass over the raw UTF-8 bytes: no `split` regex, no token
+  * array materialization, no per-token UTF8String allocation, and the MD5
+  * digest instance is thread-local instead of constructed per row. The
+  * signature pass over the 2 M-page bench corpus was the near-dup leg's
+  * second-largest cost after the pair join (guide §1.2 step 2: per-task
+  * work, after the distributed shape is right).
+  *
+  * Tokenization contract (must match TextFunctions.words exactly): tokens
+  * are maximal runs of non-0x20 bytes of the space-trimmed text — split
+  * on SPACE only (tabs/newlines ride inside tokens, as with
+  * `split(trim(text), " +")`); empty/all-space text yields no tokens
+  * (simhash 0), null text yields null. */
+case class SimHashText(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64_text"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64_text needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Int](64)
+    val md = SimHash64.localMd5.get()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1 // skip space run
+      val start = i
+      while (i < n && bytes(i) != ' ') i += 1
+      if (i > start) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val dig = md.digest()
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) out |= (1L << bit); bit += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 object SimHash64 {
-  /** Column API: simhash of the whitespace tokens of `text`. */
+  /** Per-thread MD5 instance — `MessageDigest.getInstance` does a provider
+    * lookup per call and digests are not thread-safe to share. */
+  private[functions] val localMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Column API: simhash of the whitespace tokens of `text` — the fused
+    * single-pass byte-level form (byte-identical to
+    * `ofTokens(words(text))`, SimHashSpec). */
   def ofText(text: Column): Column =
-    GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(TextFunctions.words(text))))
+    GraftBridge.toColumn(SimHashText(GraftBridge.toExpression(text)))
 
   def ofTokens(tokens: Column): Column =
     GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(tokens)))

@@ -100,8 +100,16 @@ object TextFunctions {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text. */
-  def fingerprint(text: Column): Column =
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text.
+    * Routed through the native single-pass `NormFingerprint` expression
+    * (byte-identical to the declarative reference form below, pinned by
+    * TextFunctionsSpec). */
+  def fingerprint(text: Column): Column = NormFingerprint.of(text)
+
+  /** Declarative reference form of [[fingerprint]] — kept as the semantic
+    * spec the native expression is tested against (and the shape the
+    * DuckDB oracles compute). */
+  private[graft] def fingerprintDeclarative(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), " +", " "))
 
   /** Bottom-k sketch of char k-gram hashes — a winnowing-style document

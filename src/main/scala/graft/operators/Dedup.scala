@@ -81,6 +81,51 @@ object Dedup {
     (cold.unionByName(capped.select(cold.columns.map(col): _*)), stats)
   }
 
+  /** Pre-filter an exploded (row, bucket) frame down to the rows that can
+    * actually PAIR, and truncate hot buckets — the shared front end of the
+    * bucket-local self-joins (guide §8 "decide with small rows, move the
+    * payload once").
+    *
+    * ONE narrow (bucket → count) aggregation over the bucket column alone
+    * carries both decisions: count > 1 → the row's bucket can emit a pair
+    * at all (singleton buckets — ~99.5% of an exploded simhash frame on a
+    * healthy corpus — are dropped BEFORE the wide self-join exchanges, via
+    * a broadcast semi-join on the tiny multi-bucket key set); count > cap
+    * → the bucket is hot and is truncated to its first `cap` members by
+    * `orderCol` (same documented recall tradeoff as before, surfaced in
+    * the returned one-row stats frame). When the multi-bucket key set is
+    * too large to broadcast (adversarial corpus), the membership filter is
+    * skipped — the downstream self-join still computes the same pairs,
+    * just without the singleton short-circuit. */
+  private[operators] def pairableWithStats(df: DataFrame, bucketCol: String,
+      orderCol: String, cap: Int): (DataFrame, DataFrame) = {
+    val multi = df.select(bucketCol)
+      .groupBy(bucketCol).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > 1)
+      .trackedCache()
+    val hotFull = multi.filter(col("__bc") > cap)
+    val stats = hotFull.agg(
+      count(lit(1)).as("n_capped_buckets"),
+      coalesce(sum(col("__bc") - cap), lit(0L)).as("n_capped_rows"))
+    val pre =
+      if (multi.count() <= MaxBroadcastPairBuckets)
+        df.join(broadcast(multi.select(bucketCol)), Seq(bucketCol), "left_semi")
+      else df
+    val out =
+      if (hotFull.isEmpty) pre
+      else {
+        val hot = hotFull.select(bucketCol)
+        val cold = pre.join(broadcast(hot), Seq(bucketCol), "left_anti")
+        val capped = pre.join(broadcast(hot), Seq(bucketCol), "left_semi")
+          .withColumn("__bn", row_number().over(
+            Window.partitionBy(bucketCol).orderBy(col(orderCol))))
+          .filter(col("__bn") <= cap)
+          .drop("__bn")
+        cold.unionByName(capped.select(cold.columns.map(col): _*))
+      }
+    (out, stats)
+  }
+
   /** Exact duplicate groups by normalized-text fingerprint.
     * Returns (fingerprint, n_docs, keep_id, all_ids) where all_ids is the
     * first `MaxSampleIds` ids by id order (n_docs carries the true count).
@@ -149,7 +194,7 @@ object Dedup {
       .withColumn("sig", TF.minhashSignature(col("text"), shingleN, k))
       .trackedCache()
       .withColumn("band", explode(TF.lshBands(col("sig"), bands, rowsPerBand)))
-    val sig = capBucket(sig0, "band", "id", maxBucket)
+    val sig = pairableWithStats(sig0, "band", "id", maxBucket)._1
     val a = sig.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"),
       col("text").as("text_a"))
     val b = sig.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"),
@@ -282,8 +327,32 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame =
     simhashPairsWithStats(sig, maxHamming, maxBucket)._1
 
+  /** Cap on the number of multi-occupancy combo buckets the pair join may
+    * BROADCAST as its membership pre-filter (8 bytes each → ≤ ~32 MB
+    * framed). A healthy corpus sits orders of magnitude below this (202 k
+    * multi buckets at 2 M pages); past it the join falls back to the full
+    * bucket shuffle, which stays correct at any scale. */
+  val MaxBroadcastPairBuckets = 4000000L
+
   /** `simhashPairs` plus the one-row bucket-cap stats frame (see
-    * `capBucketWithStats`) for callers that surface truncation. */
+    * `capBucketWithStats`) for callers that surface truncation.
+    *
+    * Pair-stage shape (round-6 rework, guide §8 "decide with small rows"):
+    * ~99.5% of combo buckets hold ONE row (measured: 39.6 M of 39.8 M at
+    * 2 M pages, max bucket 14) and a singleton bucket can never emit a
+    * pair, yet the old self-join shuffled and SORTED the full 20×-exploded
+    * frame TWICE (id + sim payload on every row) just to discard the
+    * singletons at the merge. Now ONE narrow aggregation over the bucket
+    * column alone finds the multi-occupancy buckets (the same aggregation
+    * the hot-bucket cap already needed — it is computed once and serves
+    * both), the tiny multi-bucket key set broadcasts back as a semi-join
+    * membership filter, and only the surviving ~1% of exploded rows enter
+    * the self-join. The wide exchanges shrink from 2 × 40 M rows to
+    * 2 × ~400 k, and the 40 M-row sort disappears entirely (the narrow
+    * count aggregation is hash-based). Measured 26.0 s → (see
+    * OPTIMIZATION_r06.md) on the 2 M-page pair stage. An adversarial
+    * corpus with > `MaxBroadcastPairBuckets` multi buckets keeps the old
+    * full-shuffle join (correct, never collects the key set). */
   def simhashPairsWithStats(sig: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     val nBlocks = maxHamming + 3 // ≥ 3 clean blocks per qualifying pair
@@ -317,7 +386,7 @@ object Dedup {
     }
     val exploded0 = sig.select(col("id"), col("sim"),
       explode(array(keys: _*)).as("bucket"))
-    val (exploded, capStats) = capBucketWithStats(exploded0, "bucket", "id", maxBucket)
+    val (exploded, capStats) = pairableWithStats(exploded0, "bucket", "id", maxBucket)
     val a = exploded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = exploded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -301,6 +301,18 @@ object RandomEffects {
     pts(vals.indices.minBy(i => vals(i)))
   }
 
+  /** Order-preserving parallel map over independent pure driver-side
+    * computations (the REML starts and the per-scope optimizations) —
+    * futures on the global pool, results collected in input order so every
+    * downstream minBy / row order is identical to the sequential form. */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = xs.map(x => Future(f(x)))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
   def remlFromClasses(classes: Seq[DesignClass], q: Int, mom: Array[Double]): Array[Double] = {
     val u = triLen(q)
     def full(packed: Array[Double]): Array[Array[Double]] = {
@@ -505,7 +517,12 @@ object RandomEffects {
       }
       (x, best)
     }
-    val (x, best) = starts.map(optimizeFrom).minBy(_._2)
+    // the three starts are independent pure computations — run them on the
+    // idle driver cores (the data-side work is done by this point; the
+    // restarted simplex + polish per start is the whole wall cost of the
+    // REML queries). Order-preserving, so minBy ties break exactly as the
+    // sequential form did — results are bit-identical.
+    val (x, best) = parMap(starts)(optimizeFrom).minBy(_._2)
     val s2 = math.exp(x(0))
     val lOpt = Array.ofDim[Double](q, q)
     var idx = 1
@@ -562,7 +579,9 @@ object RandomEffects {
     require(classRows.length <= VarComp.MaxSizes,
       s"RandomEffects.remlEstimates: > ${VarComp.MaxSizes} distinct (key, design) " +
         "classes; use method=mom (fully distributed) for this input")
-    val rows = classRows.groupBy(_.getString(0)).toSeq.map { case (key, rs) =>
+    // per-scope optimizations are independent — parallel over the driver
+    // cores, input order preserved (row order unchanged vs the seq map)
+    val rows = parMap(classRows.groupBy(_.getString(0)).toSeq) { case (key, rs) =>
       val (momS2, momG, k3, kSubj, nRows) = momRows.getOrElse(key,
         (Double.NaN, Array.fill(u)(Double.NaN), 0L, 0L, 0L))
       if (k3 < 2)

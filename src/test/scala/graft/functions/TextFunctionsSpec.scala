@@ -110,6 +110,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getInt(1) > 0 && r.getInt(1) <= 32, s"near hamming ${r.getInt(1)}")
   }
 
+  test("simhash fused text form ≡ token-array form (byte-identical), incl. edges") {
+    // edges: empty, all-spaces, leading/trailing/multiple spaces, tabs and
+    // newlines INSIDE tokens (split is on 0x20 only), unicode, repeats
+    // (multiplicity weighting), and a null row
+    val texts = Seq(
+      "a b c d e f g h i j", "", "   ", "  lead", "trail  ", " a  b   c ",
+      "tab\tinside one", "line\nbreak stays", "héllo wörld ünïcode",
+      "dup dup dup dup other", "single", "a", null,
+      (1 to 200).map(i => s"tok$i").mkString(" "))
+    val df = texts.toDF("t")
+    val r = df.select(
+      SimHash64.ofText($"t").as("fused"),
+      SimHash64.ofTokens(TextFunctions.words($"t")).as("ref"))
+      .collect()
+    r.zip(texts).foreach { case (row, t) =>
+      assert(row.isNullAt(0) == row.isNullAt(1), s"null mismatch for '$t'")
+      if (!row.isNullAt(0))
+        assert(row.getLong(0) == row.getLong(1), s"simhash mismatch for '$t'")
+    }
+  }
+
+  test("fingerprint native form ≡ declarative md5 chain (byte-identical), incl. edges") {
+    val texts = Seq(
+      "Hello  World", "hello world", "", "   ", "  Lead", "Trail  ",
+      " A  B   C ", "tab\tKEEPS", "line\nBreak", "HÉLLO Wörld ÜNÏCODE",
+      "x", null, (1 to 100).map(i => s"W$i ").mkString("  "))
+    val df = texts.toDF("t")
+    val r = df.select(
+      TextFunctions.fingerprint($"t").as("nat"),
+      TextFunctions.fingerprintDeclarative($"t").as("ref")).collect()
+    r.zip(texts).foreach { case (row, t) =>
+      assert(row.isNullAt(0) == row.isNullAt(1), s"null mismatch for '$t'")
+      if (!row.isNullAt(0))
+        assert(row.getString(0) == row.getString(1), s"fingerprint mismatch for '$t'")
+    }
+  }
+
   test("fingerprint normalizes whitespace and case") {
     val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
     val r = df.select(TextFunctions.fingerprint($"a").as("fa"),
