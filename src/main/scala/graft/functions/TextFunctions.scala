@@ -145,7 +145,18 @@ object TextFunctions {
       .cast("long")
   }
 
-  def langScore(text: Column, lang: String): Column =
+  /** Per-language marker score — routed through the one-pass native
+    * `MarkerCounts` tokenizer (the declarative reference form below ran
+    * two regexp_replace passes per marker word; TextFunctionsSpec pins
+    * the equality, including null propagation). */
+  def langScore(text: Column, lang: String): Column = {
+    val idx = langMarkers.indexWhere(_._1 == lang)
+    if (idx < 0) lit(0L)
+    else element_at(MarkerCounts.of(text, langMarkers.map(_._2)), idx + 1)
+  }
+
+  /** Declarative reference form of [[langScore]]. */
+  private[graft] def langScoreDeclarative(text: Column, lang: String): Column =
     langMarkers.toMap.getOrElse(lang, Seq.empty)
       .map(w => wordOccurrences(text, w))
       .reduceOption(_ + _).getOrElse(lit(0L))

@@ -107,9 +107,16 @@ object Dedup {
     val stats = hotFull.agg(
       count(lit(1)).as("n_capped_buckets"),
       coalesce(sum(col("__bc") - cap), lit(0L)).as("n_capped_rows"))
+    // on the broadcast path the surviving membership frame is tiny (~1% of
+    // the exploded rows on the bench corpus) — cache it so the self-join's
+    // TWO sides read it instead of each re-running the 20× explode + semi
+    // probe over the full frame (MEMORY_AND_DISK: an adversarial corpus
+    // spills instead of OOMing, bounded by what the old path shuffled)
+    val broadcastPath = multi.count() <= MaxBroadcastPairBuckets
     val pre =
-      if (multi.count() <= MaxBroadcastPairBuckets)
+      if (broadcastPath)
         df.join(broadcast(multi.select(bucketCol)), Seq(bucketCol), "left_semi")
+          .trackedCache()
       else df
     val out =
       if (hotFull.isEmpty) pre
@@ -249,9 +256,15 @@ object Dedup {
     val exact = sig.join(dupFps, Seq("fp"), "left_semi")
       .withColumn("__rn", row_number().over(w))
       .withColumn("__keep", first("id").over(w))
+    // cache the tiny drop frame (duplicate rows only — bounded by the dup
+    // rate): it feeds the near phase's anti-join, whose exploded frame is
+    // consumed by THREE plan branches (the multi-bucket count, and both
+    // pair-join sides) — uncached, each branch re-ran the full-table
+    // dupFps aggregation + window (measured 3 × ~2.7 s at 2 M pages).
     val exactDrops = exact.filter(col("__rn") > 1)
       .select(col("id").as("drop_id"), lit("exact").as("reason"),
         col("__keep").as("dup_of"), lit(0).as("hamming"))
+      .trackedCache()
     // near candidates over the exact-deduped survivors only
     val nearInput = sig.join(exactDrops.select(col("drop_id").as("id")),
       Seq("id"), "left_anti")

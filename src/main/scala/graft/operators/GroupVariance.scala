@@ -113,10 +113,19 @@ object GroupVariance {
     // the row-proportional frame at all
     val medUdf = udf((sks: Seq[Array[Byte]]) =>
       KllSketchAgg.quantiles(KllSketchAgg.merge(sks, SketchK), Array(0.5))(0))
-    val medians = perGrp.join(broadcast(dom), Seq("__key"))
-      .withColumn("side", when(col("__grp") === col("cmp"), 1).otherwise(0))
-      .groupBy("__key", "cmp", "side")
-      .agg(medUdf(collect_list(col("__sk"))).as("med"))
+    // round-6 fusion: the old medians → medWide → grpMeds chain was THREE
+    // reduced-frame aggregations + two joins; both sides of a comparison
+    // now aggregate in ONE groupBy(key, cmp) (conditional collect_list —
+    // nulls are skipped, so med1 sees exactly the group's own sketch and
+    // med0 the complement merge, as before), and the per-group median
+    // vector is a broadcast MAP over the per-key array instead of a third
+    // aggregation exchange. Same values: sort_array orders by the unique
+    // cmp exactly as the old struct(cmp, med) sort did.
+    val medWide = perGrp.join(broadcast(dom), Seq("__key"))
+      .withColumn("__own", col("__grp") === col("cmp"))
+      .groupBy("__key", "cmp")
+      .agg(medUdf(collect_list(when(col("__own"), col("__sk")))).as("med1"),
+        medUdf(collect_list(when(!col("__own"), col("__sk")))).as("med0"))
     // one-vs-rest WITHOUT the explode (round-4 shape): each row of group h
     // needs |r − m| against k different side medians (side=1's own median
     // when c = h, side=0's rest median otherwise) — but that whole median
@@ -126,17 +135,15 @@ object GroupVariance {
     // row-proportional frame is read ONCE at 1× — the previous
     // broadcast-join explode materialized k× rows through two hash probes
     // per comparison, the dominant suite cost at 100 M pages.
-    val medWide = medians.groupBy(col("__key"), col("cmp")).agg(
-      max(when(col("side") === 1, col("med"))).as("med1"),
-      max(when(col("side") === 0, col("med"))).as("med0"))
+    val medArr = medWide.groupBy(col("__key"))
+      .agg(sort_array(collect_list(struct(col("cmp"), col("med1"), col("med0")))).as("cm"))
     val grpMeds = perGrp.select(col("__key"), col("__grp"))
-      .join(broadcast(medWide), Seq("__key"))
-      .groupBy(col("__key"), col("__grp"))
-      .agg(sort_array(collect_list(struct(col("cmp"),
-        when(col("cmp") === col("__grp"), col("med1")).otherwise(col("med0"))
-          .as("med")))).as("cm"))
+      .join(broadcast(medArr), Seq("__key"))
       .select(col("__key"), col("__grp"),
-        col("cm.cmp").as("cmps"), col("cm.med").as("meds"))
+        col("cm.cmp").as("cmps"),
+        transform(col("cm"), x =>
+          when(x.getField("cmp") === col("__grp"), x.getField("med1"))
+            .otherwise(x.getField("med0"))).as("meds"))
     val grpSums = r.join(broadcast(grpMeds), Seq("__key", "__grp"))
       .groupBy(col("__key"), col("__grp"))
       .agg(count(lit(1)).as("n_g"),

@@ -70,11 +70,18 @@ object UnPanelOutlier {
   private[operators] def residualPanel(df: DataFrame, cfg: Config): DataFrame = {
     // group by the NATIVE subject id; the public string form is rendered
     // on the reduced one-row-per-(subj, slot) frame, not per input row
+    // cache the reduced cell frame (one row per (key, subj, slot) — tiny
+    // at any input scale): it feeds FOUR plan branches (the slot domain,
+    // the complete-subject filter, the slot means and the final join), and
+    // uncached each branch re-ran the full-input groupBy (measured ~4 ×
+    // 1.5 s of the un-panel family's 6.4 s bench leg at 2 M pages).
+    import graft.engine.CacheTracker.TrackedCacheOps
     val cell = keyed(df, cfg)
       .groupBy(col("__key"), col(cfg.idCol).as("__subjN"),
         col(cfg.slotCol).as("__slot"))
       .agg(avg(col(cfg.outcome).cast("double")).as("__y"))
       .withColumn("__subj", col("__subjN").cast("string")).drop("__subjN")
+      .trackedCache()
     // slot domain per key with a dense 0-based index, in ONE reduced agg:
     // distinct (key, slot) → per-key sorted slot array → posexplode. This
     // replaced a distinct + T² inequality self-join + two groupBys (round-5

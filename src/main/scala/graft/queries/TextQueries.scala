@@ -97,9 +97,16 @@ object TextQueries {
              WHERE len(list_filter(range(1, 13), i -> sig_a[i] = sig_b[i])) / 12.0 >= 0.5
              ORDER BY id_a, id_b""")),
 
-    // Exact n-gram Jaccard: doc vs its first-word-dropped copy
+    // Exact n-gram Jaccard: doc vs its first-word-dropped copy.
+    // repartition before the per-row work: the fixture parquet is ONE row
+    // group → a single scan task, and the interpreted higher-order shingle/
+    // intersect expressions cost ~20 ms/row — serial, that was ~2 s of
+    // wall for 100 rows (measured, round 6). The round-robin exchange of
+    // 100 tiny rows is microseconds and the trailing orderBy fixes output
+    // order, so the result is unchanged.
     QuerySpec("q30_ngram_jaccard",
       (s, dir) => read(s, dir, "documents").filter(col("doc_id") < 100)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           round(TF.ngramJaccard(col("text"),
             expr("substring(text, instr(text, ' ') + 1)"), 3), 6).as("jaccard"))

@@ -110,6 +110,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getInt(1) > 0 && r.getInt(1) <= 32, s"near hamming ${r.getInt(1)}")
   }
 
+  test("langScore/langId native marker counts ≡ declarative regex chain, incl. edges") {
+    val texts = Seq(
+      "the cat and the dog of note", "der hund und der nicht", "xyz qqq zzz",
+      "", "   ", "the", " the ", "THE AND OF", "the  and   of", "a\tthe b",
+      "lathe then other", "le la et el los que de5 shi4 le5", null,
+      "the the the the und und et et")
+    val df = texts.toDF("t")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val cols = langs.flatMap(l => Seq(
+      TextFunctions.langScore($"t", l).as(s"n_$l"),
+      TextFunctions.langScoreDeclarative($"t", l).as(s"d_$l"))) ++
+      Seq(TextFunctions.langId($"t").as("pred"))
+    val rows = df.select(cols: _*).collect()
+    rows.zip(texts).foreach { case (row, t) =>
+      langs.indices.foreach { i =>
+        val (n, d) = (row.get(2 * i), row.get(2 * i + 1))
+        assert(n == d, s"langScore mismatch for '$t' lang=${langs(i)}: $n vs $d")
+      }
+    }
+    // langId must agree with a declarative argmax over the reference scores
+    val declPred = df.select({
+      val scores = langs.map(l => l -> TextFunctions.langScoreDeclarative($"t", l))
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldLeft(when(best === 0, lit("und"))) {
+        case (acc, (l, s)) => acc.when(s === best, lit(l))
+      }.otherwise(lit("und")).as("pred")
+    }).collect().map(_.getString(0))
+    rows.map(_.getString(2 * langs.size)).zip(declPred).zip(texts).foreach {
+      case ((n, d), t) => assert(n == d, s"langId mismatch for '$t': $n vs $d")
+    }
+  }
+
   test("simhash fused text form ≡ token-array form (byte-identical), incl. edges") {
     // edges: empty, all-spaces, leading/trailing/multiple spaces, tabs and
     // newlines INSIDE tokens (split is on 0x20 only), unicode, repeats
