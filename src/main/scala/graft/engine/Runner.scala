@@ -179,11 +179,23 @@ object Runner {
       case c: GroupVarianceCheck =>
         val t = GroupVariance.tests(input, c)
         (GroupVariance.verdictsFrom(t, c), GroupVariance.violationsFrom(t, c))
+      // the flagged frames are consumed by TWO branches of the unified
+      // action (verdict aggregation + violation filter); uncached, each
+      // branch re-ran the full row pass (scan + broadcast-joined residual
+      // arithmetic). Cache them PRUNED to the columns both outputs read —
+      // row-proportional but narrow, MEMORY_AND_DISK spills at scale (the
+      // reference materializes its residual datasets the same way).
       case c: RegressionOutlierCheck =>
-        val f = RegressionOutlier.flagged(input, c)
+        val cols = (Seq("__key", c.idCol, c.outcome, "rstudent", "cookd",
+          "rstudent_cutoff", "flag_rstudent", "flag_cookd", "flag_outlier")).distinct
+        val f = CacheTracker.cached(
+          RegressionOutlier.flagged(input, c).select(cols.map(col): _*))
         (RegressionOutlier.verdictsFrom(f, c), RegressionOutlier.violationsFrom(f, c))
       case c: LongitudinalOutlierCheck =>
-        val f = LongitudinalOutlier.flagged(input, c)
+        val cols = (Seq("__key", c.idCol, c.outcome, "rscaled", "cutoff",
+          "flag_outlier")).distinct
+        val f = CacheTracker.cached(
+          LongitudinalOutlier.flagged(input, c).select(cols.map(col): _*))
         (LongitudinalOutlier.verdictsFrom(f, c), LongitudinalOutlier.violationsFrom(f, c))
       // type=UN panel outliers: the (eager, Σ̂-collecting) scored frame is
       // built ONCE and cached — one row per (scope, subject) — so verdicts

@@ -59,7 +59,8 @@ case class NormFingerprint(child: Expression)
         while (i < n && bytes(i) == ' ') i += 1
       }
     }
-    val dig = md.digest()
+    val dig = SimHash64.localDigestBuf.get()
+    md.digest(dig, 0, 16)
     val hex = new Array[Byte](32)
     var j = 0
     while (j < 16) {

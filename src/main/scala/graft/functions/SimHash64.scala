@@ -114,7 +114,8 @@ case class SimHashText(child: Expression)
       if (i > start) {
         md.reset()
         md.update(bytes, start, i - start)
-        val dig = md.digest()
+        val dig = SimHash64.localDigestBuf.get()
+        md.digest(dig, 0, 16)
         var h = 0L
         var b = 0
         while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
@@ -140,6 +141,11 @@ object SimHash64 {
     * lookup per call and digests are not thread-safe to share. */
   private[functions] val localMd5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Per-thread 16-byte digest scratch — `md.digest()` otherwise allocates
+    * a fresh array per token (~100 M allocations per 2 M-page sig pass). */
+  private[functions] val localDigestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
 
   /** Column API: simhash of the whitespace tokens of `text` — the fused
     * single-pass byte-level form (byte-identical to

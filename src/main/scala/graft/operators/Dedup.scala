@@ -250,10 +250,25 @@ object Dedup {
         TF.fingerprint(col(textCol)).as("fp"),
         SimHash64.ofText(col(textCol)).as("sim"))
       .trackedCache()
-    val dupFps = sig.groupBy("fp")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("fp")
+    // two-phase dup-fingerprint detection (KeyScan's shape): phase 1
+    // groups on xxhash64(fp) so the full-table exchange carries 8-byte
+    // keys instead of 32-char md5 hex strings; the rare 64-bit collision
+    // admits a singleton-fp row into the candidate set, where the exact
+    // fp-partitioned window below ranks it __rn = 1 → never dropped, so
+    // the result is exactly the old groupBy(fp) semantics.
+    val dupFps = sig.select(xxhash64(col("fp")).as("__fph"))
+      .groupBy("__fph")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("__fph")
+      .trackedCache()
+    // broadcast the candidate hash set when the dup rate is bounded (the
+    // design point — KeyScan.phase2's guard, same threshold); an
+    // adversarial all-duplicate corpus keeps the shuffled semi-join
+    val bcMax = df.sparkSession.conf
+      .get("spark.graft.broadcast.candidates.max", "8000000").toLong
+    val dupSide = if (dupFps.count() <= bcMax) broadcast(dupFps) else dupFps
     val w = Window.partitionBy("fp").orderBy(col("id"))
-    val exact = sig.join(dupFps, Seq("fp"), "left_semi")
+    val exact = sig.withColumn("__fph", xxhash64(col("fp")))
+      .join(dupSide, Seq("__fph"), "left_semi").drop("__fph")
       .withColumn("__rn", row_number().over(w))
       .withColumn("__keep", first("id").over(w))
     // cache the tiny drop frame (duplicate rows only — bounded by the dup
