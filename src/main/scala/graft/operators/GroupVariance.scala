@@ -43,28 +43,34 @@ object GroupVariance {
       else VarComp.estimates(ss)
     val olsFits = rawFits.map { case (k, (_, f)) => k -> f }
     val withResid0 = OlsPass.rowStats(base, check.outcome, d, check.scope, olsFits)
-    val est0 = estOf(subjStatsOf(withResid0))
+    // the per-(scope, group) sufficient-stats frame is TINY (one row per
+    // group) and serves BOTH consumers below — the variance-component
+    // estimate AND the per-group (count, residual-sum) whitening join —
+    // which used to be two separate full-table aggregations over the same
+    // rows (round-6: cache it, one aggregation pass instead of two).
+    val ss0 = subjStatsOf(withResid0).trackedCache()
+    val est0 = estOf(ss0)
     // fgls: β re-estimated by GLS under est0, residuals + components
     // recomputed — one joint-estimation alternation (groupComparisons.sas
     // inherits PROC MIXED's joint fit through the vciry residuals)
-    val (withResid, est) =
-      if (!check.fgls) (withResid0, est0)
+    val (withResid, subjStats, est) =
+      if (!check.fgls) (withResid0, ss0, est0)
       else {
         val keyed = OlsPass.withKey(base, check.outcome, d, check.scope)
         val glsFits = graft.stats.Fgls.refit(keyed, check.outcome, d,
           check.groupCol, rawFits.map { case (k, (r, _)) => k -> r }, est0)
         val wr = OlsPass.rowStats(base, check.outcome, d, check.scope, glsFits)
-        (wr, estOf(subjStatsOf(wr)))
+        val ssW = subjStatsOf(wr).trackedCache()
+        (wr, ssW, estOf(ssW))
       }
-    // per-group count/residual-sum as a groupBy + broadcast join back, NOT
-    // a Window.partitionBy: the window plans a full shuffle-SORT of the
-    // row-proportional frame, while the agg reduces map-side to one row per
-    // (scope, group) — broadcastable at any input scale (group domains are
-    // small by construction). `base` filters null groups, so the equi-join
-    // keeps every surviving row.
+    // per-group count/residual-sum via a broadcast join of the CACHED
+    // stats frame, NOT a Window.partitionBy (the window plans a full
+    // shuffle-SORT of the row-proportional frame) and NOT a second
+    // aggregation (the stats frame already carries exactly these sums).
+    // `base` filters null groups, so the equi-join keeps every row.
     val withGrp = withResid.withColumn("__grp", col(check.groupCol).cast("string"))
-    val grpStats = withGrp.groupBy(col("__key"), col("__grp"))
-      .agg(count(lit(1)).as("__n_grp"), sum("resid").as("__rsum"))
+    val grpStats = subjStats.select(col("__key"), col("__grp"),
+      col("n").as("__n_grp"), col("s").as("__rsum"))
     withGrp
       .join(broadcast(grpStats), Seq("__key", "__grp"))
       .join(broadcast(est), Seq("__key"), "left")

@@ -247,8 +247,12 @@ object TextQueries {
              FROM m ORDER BY doc_id""")),
 
     // Token counting: whitespace + BPE-ish subword, summed per lang
+    // repartition before the regex-heavy per-row token counters (same
+    // single-row-group serial-scan rationale as q30; the groupBy output
+    // is partition-order independent)
     QuerySpec("q34_token_counts",
       (s, dir) => read(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy("lang")
         .agg(sum(TF.tokenCount(col("text"))).as("ws_tokens"),
           sum(TF.subwordTokenCount(col("text"))).as("subword_tokens"))

@@ -264,6 +264,72 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // ---- round-6 guards for the queries the round-5 verdict flagged as
+  // contended-host regressions (q38–q42, q58): their plans were read as
+  // broadcast-correct and scan-bound, but nothing asserted it — a real
+  // plan regression (lost broadcast, surprise sort-merge/cartesian) now
+  // fails CI instead of waiting for a bench JSON diff.
+
+  test("q38 cosine near-dup: cell self-join broadcasts, no sort-merge/cartesian") {
+    val p = plan(SparkEntry.queries("q38_cosine_neardup")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q39 scalar cross join rides a broadcast nested loop, never a shuffle") {
+    val p = plan(SparkEntry.queries("q39_cross_join_scalar")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q40 count-distinct is a two-level hash aggregation, no window/sort-merge") {
+    val p = plan(SparkEntry.queries("q40_count_distinct")(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q41 weighted frequency partial-aggregates map-side below the shuffle") {
+    val p = plan(SparkEntry.queries("q41_weighted_freq")(spark, sf("sf0.001")))
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.indexOf("partial_sum")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial_sum must sit below the exchange (plan prints top-down):\n${p.take(1000)}")
+  }
+
+  test("q42 SD-rank joins the scalar frame back broadcast, no sort-merge") {
+    val p = plan(SparkEntry.queries("q42_sd_rank")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q58 multi-probe ANN broadcasts the exploded query side (declared-query guard)") {
+    val p = plan(SparkEntry.queries("q58_ann_multiprobe")(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    val bx = p.indexOf("BroadcastExchange")
+    val gen = p.indexOf("Generate")
+    assert(bx >= 0 && gen > bx,
+      "probe fan-out must sit on the broadcast (query) lineage")
+  }
+
+  test("simhash pair stage prefilters singleton buckets via broadcast semi-join") {
+    import spark.implicits._
+    graft.engine.CacheTracker.scope {
+      val docs = (1L to 300L).map(i => (i, s"tok$i a b c")).toDF("id", "text")
+      val sig = docs.select(col("id").cast("string").as("id"),
+        graft.functions.SimHash64.ofText(col("text")).as("sim"))
+      val (pairs, _) = graft.operators.Dedup.simhashPairsWithStats(sig)
+      val p = plan(pairs)
+      // the wide self-join sides must read the cached multi-bucket
+      // membership, not re-run the 20x explode against the full frame
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"pair sides must ride the cached membership frame:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"no full-frame sort-merge in the pair stage:\n${p.take(1200)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot scan→project paths") {
     // AQE wraps the plan lazily; force the final plan by executing
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf("sf0.001"))
