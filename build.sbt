@@ -47,4 +47,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (measured 2.3× on a 96 GB heap leg — same baseline doc).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
-)
+  // Throughput collector for the batch-shaped forked runs: alternated A/B
+  // pairs (round 6) read 107.3/108.7 s total vs 111.7/112.1 s under the
+  // JDK-17 default G1 on the driver-shaped bench — the win sits in the
+  // allocation-heavy per-query section; pause latency is irrelevant here.
+  // Appending e.g. "-XX:+UseG1GC" via SPARK_GRAFT_JVM_EXTRA overrides it
+  // (the JVM honors the last GC flag).
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
