@@ -54,4 +54,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Appending e.g. "-XX:+UseG1GC" via SPARK_GRAFT_JVM_EXTRA overrides it
   // (the JVM honors the last GC flag).
   "-XX:+UseParallelGC",
+  // Spark's generated-code cache (static conf) holds only 100 compiled
+  // fragments by default; a session that runs many distinct plans — the
+  // 74-query bench plus six suite compositions here, or any long-lived
+  // multi-query production session — evicts and RE-JANINO-COMPILES
+  // fragments whose source is byte-identical (measured: isolated re-runs
+  // of a query read 0.9 s under the default vs 0.2 s with the cache
+  // sized to hold the session's fragments; alternated full-bench A/B
+  // pairs read 122.4/121.1/124.7 s total vs 109.9/109.6/113.0 s, with
+  // every suite family leg 30-40% faster because the single-family runs
+  // re-execute plans the full suite already compiled). 8192 entries is
+  // headroom, not tuning: entries are compiled classes already counted
+  // by ReservedCodeCacheSize. Static conf, so it must be set before
+  // session creation — hence a JVM system property, not a builder call.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
