@@ -66,4 +66,24 @@ object CacheTracker {
     active.value.headOption.foreach(_ ++= frames)
     (res, frames.toList)
   }
+
+  /** Run `body` in an ISOLATED cache context and return (result, frames
+    * cached inside). Unlike `collect`, any enclosing scopes are masked for
+    * the duration — this is the worker-thread entry point: `DynamicVariable`
+    * is an InheritableThreadLocal, so a pool thread may inherit the main
+    * thread's scope list and `cached` would then append to a ListBuffer the
+    * main thread (or a sibling worker) is mutating concurrently. The caller
+    * re-homes the returned frames into its own scope with `registerAll`
+    * from exactly one thread. */
+  def isolated[T](body: => T): (T, Seq[DataFrame]) = {
+    val frames = new ListBuffer[DataFrame]
+    val res = active.withValue(frames :: Nil)(body)
+    (res, frames.toList)
+  }
+
+  /** Register frames that are ALREADY cached (by a worker thread inside
+    * `isolated`) with the innermost open scope of the calling thread, so
+    * the normal scope/collect release discipline covers them. */
+  def registerAll(frames: Seq[DataFrame]): Unit =
+    active.value.headOption.foreach(_ ++= frames)
 }
