@@ -197,4 +197,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
     assert(r.getDouble(2) == 0.0)
   }
+
+  test("native cosine/signBucket ≡ declarative HOF forms (bit-identical)") {
+    // randomized float vectors + every edge the declarative chain handles
+    // specially: null array, null element, NaN, all-zero both sides
+    // (den==0 → 0.0 even when lengths differ), length mismatch (→ null),
+    // negatives/zeros in the sign pattern, arrays shorter than `bits`
+    val rng = new scala.util.Random(7)
+    val rand = (1 to 200).map { _ =>
+      val n = 1 + rng.nextInt(80)
+      (Seq.fill(n)((rng.nextFloat() - 0.5f) * 10f).map(Option(_)),
+        Seq.fill(n)((rng.nextFloat() - 0.5f) * 10f).map(Option(_)))
+    }
+    val edges: Seq[(Seq[Option[Float]], Seq[Option[Float]])] = Seq(
+      (Seq(Some(1f), None, Some(3f)), Seq(Some(1f), Some(2f), Some(3f))),
+      (Seq(Some(1f), Some(2f)), Seq(Some(1f), None)),
+      (Seq(Some(Float.NaN), Some(1f)), Seq(Some(1f), Some(1f))),
+      (Seq(Some(0f), Some(0f)), Seq(Some(0f), Some(0f), Some(0f))),
+      (Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(1f), Some(2f))),
+      (Seq(Some(-1f), Some(0f), Some(-0.0f), Some(2f)), Seq(Some(2f), Some(-3f), Some(1f), Some(0f))),
+      (Seq(Some(1f)), Seq(Some(1f))))
+    val df = (rand ++ edges).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.cosine($"a", $"b").as("n"),
+      VectorFunctions.cosineDeclarative($"a", $"b").as("d"),
+      VectorFunctions.signBucket($"a", 8).as("sn"),
+      VectorFunctions.signBucketDeclarative($"a", 8).as("sd"),
+      VectorFunctions.signBucket($"b", 3).as("sn3"),
+      VectorFunctions.signBucketDeclarative($"b", 3).as("sd3")).collect()
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.isNullAt(0) == row.isNullAt(1), s"row $i cosine nullability")
+      if (!row.isNullAt(0))
+        assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(row.getDouble(1)),
+          s"row $i cosine bits: ${row.getDouble(0)} vs ${row.getDouble(1)}")
+      assert(row.getLong(2) == row.getLong(3), s"row $i signBucket(8)")
+      assert(row.getLong(4) == row.getLong(5), s"row $i signBucket(3)")
+    }
+    // null ARRAY → null through both forms
+    val nr = Seq((null.asInstanceOf[Seq[Float]], Seq(1f, 2f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b"),
+        VectorFunctions.cosineDeclarative($"a", $"b"),
+        VectorFunctions.signBucket($"a", 8),
+        VectorFunctions.signBucketDeclarative($"a", 8)).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2) && nr.isNullAt(3))
+  }
 }
