@@ -20,17 +20,28 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), " +"))
 
-  /** Whitespace token count — pure arithmetic (portable, codegen'd).
-    * Space runs are normalized to single spaces before counting. */
-  def tokenCount(text: Column): Column = {
+  /** Whitespace token count — routed through the native one-pass
+    * `TokenCount` expression (byte-identical to the declarative reference
+    * form below, pinned by TextFunctionsSpec). */
+  def tokenCount(text: Column): Column = TokenCounts.tokens(text)
+
+  /** Declarative reference form of [[tokenCount]] — the portable
+    * arithmetic the DuckDB oracles compute; kept as the semantic spec the
+    * native expression is tested against. */
+  private[graft] def tokenCountDeclarative(text: Column): Column = {
     val t = regexp_replace(trim(text), " +", " ")
     when(length(t) === 0, lit(0L))
       .otherwise((length(t) - length(regexp_replace(t, " ", "")) + 1).cast("long"))
   }
 
   /** BPE-ish sub-word token count: runs of letters, runs of digits, or a
-    * single other non-space char each count as one token. */
-  def subwordTokenCount(text: Column): Column =
+    * single other non-space char each count as one token — routed through
+    * the native one-pass `SubwordTokenCount` expression (pinned equal to
+    * the declarative form below). */
+  def subwordTokenCount(text: Column): Column = TokenCounts.subwords(text)
+
+  /** Declarative reference form of [[subwordTokenCount]]. */
+  private[graft] def subwordTokenCountDeclarative(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
   /** Word n-gram shingles (n >= 1). Docs shorter than n words yield a single

@@ -198,6 +198,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("native token counters ≡ declarative regex forms") {
+    // unicode stress: KELVIN SIGN (U+212A) lowercases INTO ascii 'k' and
+    // must merge into a letter run; İ (U+0130) lowercases to i + combining
+    // dot (two code points); emoji are single supplementary code points
+    val cases = Seq(
+      "hello world", "", "   ", "a", "  a  b  ", "tab\tin token",
+      "line\nbreak here", "abc123def", "a1b2", "!!", "a,b;c", "..a..",
+      "héllo wörld", "ΣΊΣΥΦΟΣ ΑΒΓ", "Kelvin İstanbul",
+      "😀😀 ab 😀1", "mixed 😀x7!q  ", "0 1 22 333", "a-b_c d.e",
+      "ALLCAPS Text", "ⱯⱯ unicase", null)
+    val df = cases.toDF("t")
+    val r = df.select(
+      TextFunctions.tokenCount($"t").as("tn"),
+      TextFunctions.tokenCountDeclarative($"t").as("td"),
+      TextFunctions.subwordTokenCount($"t").as("sn"),
+      TextFunctions.subwordTokenCountDeclarative($"t").as("sd")).collect()
+    r.zip(cases).foreach { case (row, c) =>
+      assert(row.isNullAt(0) == row.isNullAt(1) &&
+        (row.isNullAt(0) || row.getLong(0) == row.getLong(1)),
+        s"tokenCount('$c'): native ${row.get(0)} vs declarative ${row.get(1)}")
+      assert(row.isNullAt(2) == row.isNullAt(3) &&
+        (row.isNullAt(2) || row.getLong(2) == row.getLong(3)),
+        s"subwordTokenCount('$c'): native ${row.get(2)} vs declarative ${row.get(3)}")
+    }
+  }
+
   test("native cosine/signBucket ≡ declarative HOF forms (bit-identical)") {
     // randomized float vectors + every edge the declarative chain handles
     // specially: null array, null element, NaN, all-zero both sides
