@@ -344,72 +344,185 @@ object RandomEffects {
     // thousands of evaluations over up to MaxSizes classes)
     val prepA = classes.map(cl => full(cl.tt)).toArray
     val prepSww = classes.map(cl => full(cl.sww)).toArray
-    def neg2lr(xpar: Array[Double]): Double = {
-      val s2 = math.exp(xpar(0))
-      // L lower-tri, row-major lower order: (a, b) with b ≤ a
-      val lm = Array.ofDim[Double](q, q)
-      var idx = 1
-      var a = 0
-      while (a < q) { var b = 0; while (b <= a) { lm(a)(b) = xpar(idx); idx += 1; b += 1 }; a += 1 }
-      val lt = Array.tabulate(q, q)((i, j) => lm(j)(i)) // L'
-      var logdet = 0.0; var quad = 0.0
+    // Objective evaluator FACTORY: each optimizer start gets a private
+    // evaluator whose intermediate matrices are PREALLOCATED scratch
+    // buffers instead of per-call allocations — the optimizer runs
+    // thousands of evaluations over up to MaxSizes classes (measured
+    // 1500 classes × ~4.9 k evaluations on the q75 fixture, ~45 small
+    // objects per class-evaluation before this), and the allocation/GC
+    // churn WAS the q75 wall time. Every loop below runs in exactly the
+    // order of the allocating form it replaced (same multiplies, same
+    // accumulation order, same Cholesky recurrence), so the objective is
+    // bit-identical and the optimizer walks the identical path. Scratch
+    // is per-evaluator → thread-private (the starts run in parallel).
+    def mkNeg2lr(): Array[Double] => Double = {
+      val lm = Array.ofDim[Double](q, q) // upper stays 0: only lower written
+      val lt = Array.ofDim[Double](q, q)
+      val tmp = Array.ofDim[Double](q, q)
+      val bMat = Array.ofDim[Double](q, q)
+      val dInv = Array.ofDim[Double](q, q)
+      val cMat = Array.ofDim[Double](q, q)
+      val ac = Array.ofDim[Double](q, q)
+      val aca = Array.ofDim[Double](q, q)
       val mMat = Array.ofDim[Double](q, q)
       val mVec = new Array[Double](q)
-      var ci = 0
-      while (ci < classes.length) {
-        val cl = classes(ci)
-        val aMat = prepA(ci)
-        val n = cl.tt(0) // intercept×intercept sum = subject row count
-        val bMat = mul(lt, mul(aMat, lm)) // L'AL
-        val dPacked = new Array[Double](u)
+      val dPacked = new Array[Double](u)
+      val invPacked = new Array[Double](u)
+      val mPacked = new Array[Double](u)
+      val ldL = Array.ofDim[Double](q, q) // cholesky writes lower only
+      val eVec = new Array[Double](q)
+      val zVec = new Array[Double](q)
+      val xVec = new Array[Double](q)
+      // X*Y → out, row-major inner order as `mul`
+      def mulInto(x: Array[Array[Double]], y: Array[Array[Double]],
+          out: Array[Array[Double]]): Unit = {
+        var a = 0
+        while (a < q) {
+          var c = 0
+          while (c < q) {
+            var s = 0.0; var b = 0
+            while (b < q) { s += x(a)(b) * y(b)(c); b += 1 }
+            out(a)(c) = s; c += 1
+          }
+          a += 1
+        }
+      }
+      // `cholesky` recurrence into ldL; false = not PD (same rel. pivot)
+      def cholInto(tt: Array[Double]): Boolean = {
+        var a = 0
+        while (a < q) {
+          var b = 0
+          while (b <= a) {
+            var s = tt(triIdx(math.min(a, b), math.max(a, b), q))
+            var k = 0
+            while (k < b) { s -= ldL(a)(k) * ldL(b)(k); k += 1 }
+            if (a == b) {
+              if (s <= 1e-12 * (math.abs(tt(triIdx(a, a, q))) + 1.0)) return false
+              ldL(a)(a) = math.sqrt(s)
+            } else ldL(a)(b) = s / ldL(b)(b)
+            b += 1
+          }
+          a += 1
+        }
+        true
+      }
+      // `cholSolve` against ldL into xVec (zVec scratch)
+      def cholSolveInto(y: Array[Double]): Unit = {
         var i = 0
         while (i < q) {
-          var j = i
-          while (j < q) {
-            dPacked(triIdx(i, j, q)) = bMat(i)(j) + (if (i == j) s2 else 0.0)
-            j += 1
-          }
-          i += 1
+          var s = y(i); var k = 0
+          while (k < i) { s -= ldL(i)(k) * zVec(k); k += 1 }
+          zVec(i) = s / ldL(i)(i); i += 1
         }
-        val ld = cholesky(dPacked, q)
-        if (ld == null) return Double.PositiveInfinity
-        var logDetD = 0.0
-        i = 0
-        while (i < q) { logDetD += 2.0 * math.log(ld(i)(i)); i += 1 }
-        val dInv = full(cholInverse(ld, q))
-        val cMat = mul(lm, mul(dInv, lt)) // C = L D⁻¹ L'
-        val swwFull = prepSww(ci)
-        var tr = 0.0
-        i = 0
-        while (i < q) { var j = 0; while (j < q) { tr += cMat(i)(j) * swwFull(i)(j); j += 1 }; i += 1 }
-        quad += (cl.sq - tr) / s2
-        logdet += cl.k * (n * math.log(s2) + logDetD - q * math.log(s2))
-        val ac = mul(aMat, cMat)
-        val aca = mul(ac, aMat)
-        i = 0
-        while (i < q) {
-          var j = 0
-          while (j < q) { mMat(i)(j) += cl.k * (aMat(i)(j) - aca(i)(j)) / s2; j += 1 }
-          var s = cl.sw(i); j = 0
-          while (j < q) { s -= ac(i)(j) * cl.sw(j); j += 1 }
-          mVec(i) += s / s2
-          i += 1
+        i = q - 1
+        while (i >= 0) {
+          var s = zVec(i); var k = i + 1
+          while (k < q) { s -= ldL(k)(i) * xVec(k); k += 1 }
+          xVec(i) = s / ldL(i)(i); i -= 1
         }
-        ci += 1
       }
-      val mPacked = new Array[Double](u)
-      for (i <- 0 until q; j <- i until q) mPacked(triIdx(i, j, q)) = mMat(i)(j)
-      val lM = cholesky(mPacked, q)
-      if (lM == null) return Double.PositiveInfinity
-      var logDetM = 0.0
-      var i = 0
-      while (i < q) { logDetM += 2.0 * math.log(lM(i)(i)); i += 1 }
-      val delta = cholSolve(lM, mVec)
-      var dm = 0.0
-      i = 0
-      while (i < q) { dm += delta(i) * mVec(i); i += 1 }
-      val out = logdet + logDetM + quad - dm
-      if (java.lang.Double.isFinite(out)) out else Double.PositiveInfinity
+      // `full(cholInverse(ld, q))` against ldL into dInv
+      def cholInverseInto(): Unit = {
+        var b = 0
+        while (b < q) {
+          var z = 0
+          while (z < q) { eVec(z) = 0.0; z += 1 }
+          eVec(b) = 1.0
+          cholSolveInto(eVec)
+          var a = 0
+          while (a <= b) { invPacked(triIdx(a, b, q)) = xVec(a); a += 1 }
+          b += 1
+        }
+        var a = 0
+        while (a < q) {
+          var b = a
+          while (b < q) {
+            dInv(a)(b) = invPacked(triIdx(a, b, q)); dInv(b)(a) = dInv(a)(b)
+            b += 1
+          }
+          a += 1
+        }
+      }
+      (xpar: Array[Double]) => {
+        val s2 = math.exp(xpar(0))
+        // L lower-tri, row-major lower order: (a, b) with b ≤ a
+        var idx = 1
+        var a = 0
+        while (a < q) { var b = 0; while (b <= a) { lm(a)(b) = xpar(idx); idx += 1; b += 1 }; a += 1 }
+        a = 0
+        while (a < q) { var b = 0; while (b < q) { lt(a)(b) = lm(b)(a); b += 1 }; a += 1 } // L'
+        var logdet = 0.0; var quad = 0.0
+        a = 0
+        while (a < q) {
+          var b = 0
+          while (b < q) { mMat(a)(b) = 0.0; b += 1 }
+          mVec(a) = 0.0; a += 1
+        }
+        var bad = false
+        var ci = 0
+        while (ci < classes.length && !bad) {
+          val cl = classes(ci)
+          val aMat = prepA(ci)
+          val n = cl.tt(0) // intercept×intercept sum = subject row count
+          mulInto(aMat, lm, tmp); mulInto(lt, tmp, bMat) // L'AL
+          var i = 0
+          while (i < q) {
+            var j = i
+            while (j < q) {
+              dPacked(triIdx(i, j, q)) = bMat(i)(j) + (if (i == j) s2 else 0.0)
+              j += 1
+            }
+            i += 1
+          }
+          if (!cholInto(dPacked)) bad = true
+          else {
+            var logDetD = 0.0
+            i = 0
+            while (i < q) { logDetD += 2.0 * math.log(ldL(i)(i)); i += 1 }
+            cholInverseInto()
+            mulInto(dInv, lt, tmp); mulInto(lm, tmp, cMat) // C = L D⁻¹ L'
+            val swwFull = prepSww(ci)
+            var tr = 0.0
+            i = 0
+            while (i < q) { var j = 0; while (j < q) { tr += cMat(i)(j) * swwFull(i)(j); j += 1 }; i += 1 }
+            quad += (cl.sq - tr) / s2
+            logdet += cl.k * (n * math.log(s2) + logDetD - q * math.log(s2))
+            mulInto(aMat, cMat, ac)
+            mulInto(ac, aMat, aca)
+            i = 0
+            while (i < q) {
+              var j = 0
+              while (j < q) { mMat(i)(j) += cl.k * (aMat(i)(j) - aca(i)(j)) / s2; j += 1 }
+              var s = cl.sw(i); j = 0
+              while (j < q) { s -= ac(i)(j) * cl.sw(j); j += 1 }
+              mVec(i) += s / s2
+              i += 1
+            }
+          }
+          ci += 1
+        }
+        if (bad) Double.PositiveInfinity
+        else {
+          var i = 0
+          while (i < q) {
+            var j = i
+            while (j < q) { mPacked(triIdx(i, j, q)) = mMat(i)(j); j += 1 }
+            i += 1
+          }
+          if (!cholInto(mPacked)) Double.PositiveInfinity
+          else {
+            var logDetM = 0.0
+            i = 0
+            while (i < q) { logDetM += 2.0 * math.log(ldL(i)(i)); i += 1 }
+            cholSolveInto(mVec)
+            var dm = 0.0
+            i = 0
+            while (i < q) { dm += xVec(i) * mVec(i); i += 1 }
+            val out = logdet + logDetM + quad - dm
+            if (java.lang.Double.isFinite(out)) out else Double.PositiveInfinity
+          }
+        }
+      }
     }
     // ---- deterministic multi-start ----
     // Variance-component likelihoods routinely peak ON the PSD-cone
@@ -465,6 +578,7 @@ object RandomEffects {
       x0
     }
     def optimizeFrom(x0: Array[Double]): (Array[Double], Double) = {
+      val neg2lr = mkNeg2lr() // private scratch — the starts run in parallel
       val step0 = x0.zipWithIndex.map { case (v, i) =>
         if (i == 0) 0.3 else math.max(0.1 * math.abs(v), 1e-4) }
       // Restarted in-house Nelder–Mead (fresh shrinking simplex at the
