@@ -32,12 +32,25 @@ object RunProbe {
       "full" -> (Flagship.coreChecks ++ Flagship.modelChecks ++ Flagship.dedupChecks)) ++
       Flagship.modelChecks.map(c => c.id -> Seq(c)) ++
       Seq("near_dup" -> Flagship.dedupChecks)
+    // executor-core occupancy during each phase: Σ task run time / (wall ×
+    // cores). Low occupancy = scheduling/codegen latency, not compute.
+    val runTime = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) runTime.addAndGet(te.taskMetrics.executorRunTime)
+    })
+    def occ(wall: Double, t0: Long, t1: Long): Double =
+      (t1 - t0) / 1000.0 / (wall * cpus)
     legs.foreach { case (name, cs) =>
       graft.engine.CacheTracker.scope {
+        val r0 = runTime.get()
         val (res, tBuild) = t(Runner.run(pages, Flagship.suiteOf(spark, cs)))
+        val r1 = runTime.get()
         val (_, tAct) = t(
           res.unified.write.format("noop").mode("overwrite").save())
-        println(f"[rp] $name%-22s build=$tBuild%6.2f s  action=$tAct%6.2f s")
+        val r2 = runTime.get()
+        println(f"[rp] $name%-22s build=$tBuild%6.2f s (occ ${occ(tBuild, r0, r1)}%4.2f)" +
+          f"  action=$tAct%6.2f s (occ ${occ(tAct, r1, r2)}%4.2f)")
       }
     }
     spark.stop()

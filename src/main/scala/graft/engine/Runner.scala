@@ -237,6 +237,11 @@ object Runner {
           Dedup.nearDupViolationsFrom(drops, c))
     }
 
+    // (Eagerly materializing each check's output frames inside the pool —
+    // so the unified action reads only caches — was A/B'd and is NEUTRAL:
+    // at bench scale the suite is bound by the box's memory bus across the
+    // ~12 concurrent full-table passes, not by the unified action's
+    // driver-side stage latency. Kept out for the simpler lazy contract.)
     val buildThreads = spark.conf.get("spark.graft.build.threads", "8").toInt
     val buildable = checks.filter(buildCheck.isDefinedAt)
     val others: Seq[(DataFrame, DataFrame)] =
@@ -246,8 +251,14 @@ object Runner {
           math.min(buildThreads, buildable.size))
         try {
           val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val debug = spark.conf.get("spark.graft.build.debug", "false").toBoolean
           val fs = buildable.map(c =>
-            scala.concurrent.Future(CacheTracker.isolated(buildCheck(c)))(ec))
+            scala.concurrent.Future(CacheTracker.isolated {
+              val t0 = System.nanoTime()
+              val out = buildCheck(c)
+              if (debug) println(f"[runner] build ${c.id}%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+              out
+            })(ec))
           val built = fs.map(scala.concurrent.Await.result(_,
             scala.concurrent.duration.Duration.Inf))
           built.foreach { case (_, frames) => CacheTracker.registerAll(frames) }
