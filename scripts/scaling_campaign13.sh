@@ -20,7 +20,10 @@ PAGES=120000000
 COMMON="-XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=2g -Dspark.local.dir=/dev/shm/spark-tmp -Dspark.sql.codegen.cache.maxEntries=8192 -XX:+UseParallelGC"
 JVM="-Xmx24g -Xms24g $COMMON"
 DRIVER_JVM="-Xmx8g -Xms8g $COMMON"
-EXEC_OPTS="-XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g -Dspark.sql.codegen.cache.maxEntries=8192 -XX:+UseParallelGC"
+# NOTE: no -Dspark.* flags here — Spark REJECTS spark options inside
+# spark.executor.extraJavaOptions; the codegen-cache conf is set on the
+# driver (system property → SparkConf) and propagates to executors.
+EXEC_OPTS="-XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g -XX:+UseParallelGC"
 
 note() { echo "[campaign] $(date +%T) $*" >> "$MAIN"; }
 
