@@ -79,14 +79,18 @@ if [ ! -d "$INPUT" ]; then
 fi
 
 # ---- phase 1: in-process suite pair (campaign-8 shape) ----
-for rep in 1 2; do
+# REPS env parameterizes the pair count (round-5 ran 2 in-script; the
+# recorded third rep pair was driven by re-invoking these legs — the
+# ADVICE.md round-5 note; default now covers all recorded reps)
+REPS="${REPS:-3}"
+for rep in $(seq 1 "$REPS"); do
   leg 8 "8_r$rep"
   leg 2 "2_r$rep"
 done
 leg 32 "32_r1"
 
 # ---- phase 2: 2-vs-8 REAL executor JVMs (campaign-11 shape) ----
-for rep in 1 2; do
+for rep in $(seq 1 "$REPS"); do
   eleg 8 8 "e8_r$rep"
   eleg 2 2 "e2_r$rep"
 done

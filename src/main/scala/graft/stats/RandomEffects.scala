@@ -653,8 +653,12 @@ object RandomEffects {
   }
 
   /** REML estimates per key — same output schema as `estimates` so the
-    * operators swap methods freely. Distributed collapse to the
-    * (key, design-class) grain, GUARDED collect (VarComp.MaxSizes
+    * operators swap methods freely, WITH one documented caveat (ADVICE
+    * round-5): the key column comes back as StringType (the driver-side
+    * class collect casts keys to string), so a caller joining on a
+    * non-string keyCol must cast its side to string too — every engine
+    * call site already keys on the string `__key`. Distributed collapse
+    * to the (key, design-class) grain, GUARDED collect (VarComp.MaxSizes
     * distinct classes, not subjects), driver REML per key initialized at
     * the distributed MoM solution; scopes with < 2 informative subjects
     * fall back to the MoM row (components unidentifiable either way). */
